@@ -1,0 +1,397 @@
+package graft
+
+import java.time.Duration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tjk._
+
+/** Core-engine query catalog (SURVEY.md §2.1 operators O1–O11), each paired
+  * with DuckDB oracle SQL over the same parquet. The events table is viewed
+  * as transcripts identically on both sides (Tables.transcriptsSqlCte /
+  * Tables.transcripts — FIXTURES.md §3).
+  *
+  * Convention: every aggregate/computed column is aliased to the SAME name in
+  * Spark and SQL; floating accumulations are rounded on both sides (window
+  * sums → 6 dp, whole-table sums → 0 dp) so cross-engine summation-order
+  * differences can't flip the driver's hash compare; every query ends in a
+  * deterministic total ORDER BY.
+  */
+object CoreQueries {
+
+  private val H1 = Duration.ofHours(1)
+  private val D1 = Duration.ofHours(24)
+  private val GAP = Duration.ofMinutes(30)
+
+  private def t(spark: SparkSession, dir: String): DataFrame =
+    Tables.transcripts(spark, dir)
+
+  // ---------------------------------------------------------------- O2: time frames
+
+  /** NOTE on mean columns throughout: both engines derive the mean from the
+    * ALREADY-ROUNDED sum (`round(round(sum,4)/count, 6)`). Raw cross-engine
+    * sums can differ in the last bit, and 2-decimal inputs divided by round
+    * counts sit exactly on half-ties at the 6th decimal — rounding a raw avg
+    * is therefore not reproducible, but rounding a bit-identical quotient is.
+    */
+  def rollingTime(spark: SparkSession, dir: String): DataFrame =
+    Rolling.rollingAgg(t(spark, dir), "conv_id", "ts", Seq(
+        RollingSpec("value", Agg.Count, H1),
+        RollingSpec("value", Agg.Sum, H1),
+        RollingSpec("value", Agg.Count, D1),
+        RollingSpec("value", Agg.Sum, D1),
+        RollingSpec("value", Agg.Min, D1),
+        RollingSpec("value", Agg.Max, D1)))
+      .select(col("conv_id"), col("turn_idx"),
+        col("count_value_3600s"),
+        round(col("sum_value_3600s"), 6).as("sum_value_3600s"),
+        round(round(col("sum_value_86400s"), 4) /
+          nullif(col("count_value_86400s"), lit(0L)), 6).as("mean_value_86400s"),
+        col("min_value_86400s"), col("max_value_86400s"))
+      .orderBy("conv_id", "turn_idx")
+
+  val rollingTimeSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, turn_idx,
+       |  count(value) OVER w1 AS count_value_3600s,
+       |  round(sum(value) OVER w1, 6) AS sum_value_3600s,
+       |  round(round(sum(value) OVER w2, 4) / nullif(count(value) OVER w2, 0), 6) AS mean_value_86400s,
+       |  min(value) OVER w2 AS min_value_86400s,
+       |  max(value) OVER w2 AS max_value_86400s
+       |FROM t
+       |WINDOW
+       |  w1 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+       |  w2 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  // ------------------------------------------------- O2 strict-past (leakage-free exact)
+
+  def rollingStrict(spark: SparkSession, dir: String): DataFrame =
+    Rolling.rollingAgg(t(spark, dir), "conv_id", "ts", Seq(
+        RollingSpec("value", Agg.Count, H1, strict = true),
+        RollingSpec("value", Agg.Sum, H1, strict = true)))
+      .select(col("conv_id"), col("turn_idx"),
+        col("count_value_3600s_strict"),
+        round(col("sum_value_3600s_strict"), 6).as("sum_value_3600s_strict"))
+      .orderBy("conv_id", "turn_idx")
+
+  val rollingStrictSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, turn_idx,
+       |  count(value) OVER w AS count_value_3600s_strict,
+       |  round(sum(value) OVER w, 6) AS sum_value_3600s_strict
+       |FROM t
+       |WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+       |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND INTERVAL 1 MICROSECOND PRECEDING)
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  // ---------------------------------------------------------------- O2: row frames
+
+  def rollingRows(spark: SparkSession, dir: String): DataFrame =
+    Rolling.rowsAgg(t(spark, dir), "conv_id", "ts", "turn_idx", Seq(
+        RowsSpec("value", Agg.Sum, 5),
+        RowsSpec("value", Agg.Max, 5),
+        RowsSpec("value", Agg.NUnique, 5)))
+      .select(col("conv_id"), col("turn_idx"),
+        round(col("sum_value_r5"), 6).as("sum_value_r5"),
+        col("max_value_r5"), col("nunique_value_r5"))
+      .orderBy("conv_id", "turn_idx")
+
+  val rollingRowsSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, turn_idx,
+       |  round(sum(value) OVER w, 6) AS sum_value_r5,
+       |  max(value) OVER w AS max_value_r5,
+       |  CAST(count(DISTINCT value) OVER w AS BIGINT) AS nunique_value_r5
+       |FROM t
+       |WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+       |  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  // ---------------------------------------------------------------- O3: windowed nunique
+
+  def rollingNunique(spark: SparkSession, dir: String): DataFrame =
+    Rolling.rollingAgg(t(spark, dir), "conv_id", "ts", Seq(
+        RollingSpec("role", Agg.NUnique, H1),
+        RollingSpec("tool", Agg.NUnique, D1)))
+      .select(col("conv_id"), col("turn_idx"),
+        col("nunique_role_3600s"), col("nunique_tool_86400s"))
+      .orderBy("conv_id", "turn_idx")
+
+  val rollingNuniqueSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, turn_idx,
+       |  CAST(count(DISTINCT role) OVER w1 AS BIGINT) AS nunique_role_3600s,
+       |  CAST(count(DISTINCT tool) OVER w2 AS BIGINT) AS nunique_tool_86400s
+       |FROM t
+       |WINDOW
+       |  w1 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+       |  w2 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  // ---------------------------------------------------------------- O4/O6: lag + ffill
+
+  def lagFfill(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir)
+    val lagged = Offsets.lags(base, "conv_id", Seq("turn_idx", "ts"),
+      Seq(("value", 1), ("value", 3)))
+    Offsets.ffill(lagged, "conv_id", Seq("ts", "turn_idx"), Seq("tool"))
+      .select("conv_id", "turn_idx", "lag_value_1", "lag_value_3", "ffill_tool")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  val lagFfillSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, turn_idx,
+       |  lag(value, 1) OVER wo AS lag_value_1,
+       |  lag(value, 3) OVER wo AS lag_value_3,
+       |  last_value(tool IGNORE NULLS) OVER wf AS ffill_tool
+       |FROM t
+       |WINDOW
+       |  wo AS (PARTITION BY conv_id ORDER BY turn_idx, ts),
+       |  wf AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  // ---------------------------------------------------------------- O1: as-of join
+
+  /** Right side: purchase events, deduped to unique (conv_id, ts) by greatest
+    * event_id so the DuckDB ASOF oracle is tie-free.
+    */
+  private def purchases(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id").cast("string").as("conv_id"), col("ts").as("ev_ts"))
+      .agg(max_by(col("value"), col("event_id")).as("pv"))
+
+  private val purchasesSqlCte: String =
+    """ev AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS conv_id, ts AS ev_ts,
+      |         arg_max(value, event_id) AS pv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |)""".stripMargin
+
+  def asofBackward(spark: SparkSession, dir: String): DataFrame = {
+    val spine = t(spark, dir).where(pmod(col("turn_idx"), lit(5)) === 0)
+      .select("conv_id", "turn_idx", "ts")
+    AsOf.asofJoin(spine, purchases(spark, dir), "conv_id", "ts", "ev_ts", Seq("pv"))
+      .select("conv_id", "turn_idx", "pv")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  val asofBackwardSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |spine AS (SELECT conv_id, turn_idx, ts FROM t WHERE turn_idx % 5 = 0),
+       |$purchasesSqlCte
+       |SELECT s.conv_id, s.turn_idx, e.pv
+       |FROM spine s ASOF LEFT JOIN ev e
+       |  ON s.conv_id = e.conv_id AND s.ts >= e.ev_ts
+       |ORDER BY s.conv_id, s.turn_idx""".stripMargin
+
+  def asofStrictTol(spark: SparkSession, dir: String): DataFrame = {
+    val spine = t(spark, dir).where(pmod(col("turn_idx"), lit(5)) === 0)
+      .select("conv_id", "turn_idx", "ts")
+    AsOf.asofJoin(spine, purchases(spark, dir), "conv_id", "ts", "ev_ts", Seq("pv"),
+        tolerance = Some(Duration.ofHours(1)), strict = true)
+      .select("conv_id", "turn_idx", "pv")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  val asofStrictTolSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |spine AS (SELECT conv_id, turn_idx, ts FROM t WHERE turn_idx % 5 = 0),
+       |$purchasesSqlCte
+       |SELECT s.conv_id, s.turn_idx,
+       |  CASE WHEN s.ts - e.ev_ts <= INTERVAL 1 HOUR THEN e.pv END AS pv
+       |FROM spine s ASOF LEFT JOIN ev e
+       |  ON s.conv_id = e.conv_id AND s.ts > e.ev_ts
+       |ORDER BY s.conv_id, s.turn_idx""".stripMargin
+
+  /** Same semantics through the mandated sort-merge mapPartitions fallback —
+    * oracle-checked against the identical ASOF SQL as the primary path.
+    */
+  def asofMerge(spark: SparkSession, dir: String): DataFrame = {
+    val spine = t(spark, dir).where(pmod(col("turn_idx"), lit(5)) === 0)
+      .select("conv_id", "turn_idx", "ts")
+    AsOf.asofJoinMerge(spine, purchases(spark, dir), "conv_id", "ts", "ev_ts", Seq("pv"))
+      .select("conv_id", "turn_idx", "pv")
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  // ---------------------------------------------------------------- O7: sessionize
+
+  def sessionizeRows(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionize(t(spark, dir), "conv_id", "ts", "turn_idx", GAP)
+      .select("conv_id", "turn_idx", "session_seq", "session_id")
+      .orderBy("conv_id", "turn_idx")
+
+  private val sessionSeqCte: String =
+    s"""f AS (
+       |  SELECT conv_id, turn_idx, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS flag
+       |  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+       |),
+       |s AS (
+       |  SELECT conv_id, turn_idx, ts, value,
+       |    CAST(sum(flag) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM f
+       |)""".stripMargin
+
+  val sessionizeRowsSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |$sessionSeqCte
+       |SELECT conv_id, turn_idx, session_seq,
+       |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id
+       |FROM s
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  def sessionAgg(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionAgg(t(spark, dir), "conv_id", "ts", "turn_idx", GAP)
+      .orderBy("conv_id", "session_id")
+
+  val sessionAggSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |$sessionSeqCte
+       |SELECT conv_id,
+       |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_turns
+       |FROM s GROUP BY conv_id, session_seq
+       |ORDER BY conv_id, session_id""".stripMargin
+
+  // ------------------------------------------------- O5: flagship backfill composition
+
+  def backfillFlagship(spark: SparkSession, dir: String): DataFrame = {
+    val spec = FeatureSpec(
+      rolling = Seq(
+        RollingSpec("value", Agg.Count, H1),
+        RollingSpec("value", Agg.Sum, D1),
+        RollingSpec("role", Agg.NUnique, H1)),
+      lags = Seq(("value", 1)),
+      sessionGap = Some(GAP))
+    Pipeline.backfill(t(spark, dir), spec)
+      .groupBy("conv_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        max("count_value_3600s").as("max_cnt_1h"),
+        round(sum(col("sum_value_86400s")), 0).as("sum_sum_24h"),
+        round(round(sum(col("lag_value_1")), 4) /
+          nullif(count(col("lag_value_1")), lit(0L)), 6).as("avg_lag1"),
+        max("nunique_role_3600s").as("max_nuniq_role_1h"))
+      .orderBy("conv_id", "session_id")
+  }
+
+  val backfillFlagshipSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |feat AS (
+       |  SELECT conv_id, turn_idx, ts, value,
+       |    count(value) OVER w1 AS count_value_3600s,
+       |    sum(value) OVER w2 AS sum_value_86400s,
+       |    CAST(count(DISTINCT role) OVER w1 AS BIGINT) AS nunique_role_3600s,
+       |    lag(value, 1) OVER wo AS lag_value_1,
+       |    CASE WHEN lag(ts) OVER wo IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER wo) > 1800000000
+       |         THEN 1 ELSE 0 END AS flag
+       |  FROM t
+       |  WINDOW
+       |    w1 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+       |    w2 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW),
+       |    wo AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+       |),
+       |sess AS (
+       |  SELECT *, CAST(sum(flag) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM feat
+       |)
+       |SELECT conv_id,
+       |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+       |  count(*) AS n_turns,
+       |  max(count_value_3600s) AS max_cnt_1h,
+       |  round(sum(sum_value_86400s), 0) AS sum_sum_24h,
+       |  round(round(sum(lag_value_1), 4) / nullif(count(lag_value_1), 0), 6) AS avg_lag1,
+       |  max(nunique_role_3600s) AS max_nuniq_role_1h
+       |FROM sess GROUP BY conv_id, session_seq
+       |ORDER BY conv_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------- O8: salted agg
+
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(t(spark, dir), "conv_id", "value", Agg.all, salt = 8, saltBy = "turn_idx")
+      .select(col("conv_id"),
+        col("count_value"),
+        round(col("sum_value"), 4).as("sum_value"),
+        round(round(col("sum_value"), 4) /
+          nullif(col("count_value"), lit(0L)), 6).as("mean_value"),
+        col("min_value"), col("max_value"), col("nunique_value"))
+      .orderBy("conv_id")
+
+  val saltedAggSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id,
+       |  count(value) AS count_value,
+       |  round(sum(value), 4) AS sum_value,
+       |  round(round(sum(value), 4) / nullif(count(value), 0), 6) AS mean_value,
+       |  min(value) AS min_value,
+       |  max(value) AS max_value,
+       |  CAST(count(DISTINCT value) AS BIGINT) AS nunique_value
+       |FROM t GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  // ------------------------------------------------- joins / ranking / JSON parity
+
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      |FROM orders
+      |QUALIFY rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  def joinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.read(spark, dir, "orders")
+    val c = Tables.read(spark, dir, "customer")
+    val n = Tables.read(spark, dir, "nation")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 0).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  val joinAggSql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 0) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  def jsonAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_k"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
+  val jsonAggSql: String =
+    """SELECT event_type,
+      |  count(k) AS n_k, CAST(sum(k) AS BIGINT) AS sum_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+}

@@ -1,13 +1,55 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries live in CoreQueries (engine operators O1–O11) and TextVecQueries
+  * (training-data ops over documents/embeddings); each has a DuckDB oracle
+  * unless the op is not SQL-expressible (then the driver records a
+  * rows-only check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.backfillFlagship(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_rolling_time"   -> (CoreQueries.rollingTime _),
+    "q02_rolling_strict" -> (CoreQueries.rollingStrict _),
+    "q03_rolling_rows"   -> (CoreQueries.rollingRows _),
+    "q04_nunique"        -> (CoreQueries.rollingNunique _),
+    "q05_lag_ffill"      -> (CoreQueries.lagFfill _),
+    "q06_asof"           -> (CoreQueries.asofBackward _),
+    "q07_asof_strict_tol"-> (CoreQueries.asofStrictTol _),
+    "q08_asof_merge"     -> (CoreQueries.asofMerge _),
+    "q09_sessionize"     -> (CoreQueries.sessionizeRows _),
+    "q10_session_agg"    -> (CoreQueries.sessionAgg _),
+    "q11_backfill"       -> (CoreQueries.backfillFlagship _),
+    "q12_salted_agg"     -> (CoreQueries.saltedAgg _),
+    "q13_topk"           -> (CoreQueries.topkPerGroup _),
+    "q14_join_agg"       -> (CoreQueries.joinAgg _),
+    "q15_json"           -> (CoreQueries.jsonAgg _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_rolling_time"   -> CoreQueries.rollingTimeSql,
+    "q02_rolling_strict" -> CoreQueries.rollingStrictSql,
+    "q03_rolling_rows"   -> CoreQueries.rollingRowsSql,
+    "q04_nunique"        -> CoreQueries.rollingNuniqueSql,
+    "q05_lag_ffill"      -> CoreQueries.lagFfillSql,
+    "q06_asof"           -> CoreQueries.asofBackwardSql,
+    "q07_asof_strict_tol"-> CoreQueries.asofStrictTolSql,
+    "q08_asof_merge"     -> CoreQueries.asofBackwardSql,
+    "q09_sessionize"     -> CoreQueries.sessionizeRowsSql,
+    "q10_session_agg"    -> CoreQueries.sessionAggSql,
+    "q11_backfill"       -> CoreQueries.backfillFlagshipSql,
+    "q12_salted_agg"     -> CoreQueries.saltedAggSql,
+    "q13_topk"           -> CoreQueries.topkPerGroupSql,
+    "q14_join_agg"       -> CoreQueries.joinAggSql,
+    "q15_json"           -> CoreQueries.jsonAggSql,
+  )
 }

@@ -1,0 +1,72 @@
+package graft.tjk
+
+import java.time.Duration
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** O7 — sessionization by inactivity gap (SURVEY.md §2.1), two forms:
+  *
+  *  - [[sessionize]] (window form): per-row `session_seq`/`session_id`.
+  *    A new session starts when `ts − prev(ts) > gap` (first turn of a
+  *    conversation always starts one). `session_id = "<conv_id>#<k>"`, k =
+  *    running count of session starts — stable under reprocessing.
+  *  - [[sessionWindowAgg]] (session_window form): session-level aggregates
+  *    via Spark's `session_window`, which works in batch (probed, SURVEY.md
+  *    §2.9) and is the identical expression a Structured Streaming
+  *    incremental mode would use. NOTE its boundary differs by convention:
+  *    `session_window` closes a session at `last + gap` (a row at exactly
+  *    `prev + gap` starts a NEW session), while the window form splits only
+  *    when the gap strictly exceeds the threshold.
+  */
+object Sessionize {
+
+  def sessionize(
+      df: DataFrame,
+      entity: String,
+      tsCol: String,
+      tieCol: String,
+      gap: Duration): DataFrame = {
+    val gapMicros = gap.toMillis * 1000L
+    val w = Window.partitionBy(col(entity)).orderBy(col(tsCol), col(tieCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0L)
+    val prev = lag(tsMicros(col(tsCol)), 1).over(w)
+    df
+      .withColumn("__new_session",
+        when(prev.isNull || tsMicros(col(tsCol)) - prev > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(run))
+      .withColumn("session_id",
+        concat(col(entity), lit("#"), col("session_seq").cast("string")))
+      .drop("__new_session")
+  }
+
+  /** Per-session aggregates derived from the window form (oracle-matched). */
+  def sessionAgg(
+      df: DataFrame,
+      entity: String,
+      tsCol: String,
+      tieCol: String,
+      gap: Duration): DataFrame =
+    sessionize(df, entity, tsCol, tieCol, gap)
+      .groupBy(col(entity), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_turns"))
+
+  /** Per-session aggregates via Spark's native session_window (batch/stream
+    * parity path). `gapExpr` e.g. "30 minutes".
+    */
+  def sessionWindowAgg(
+      df: DataFrame,
+      entity: String,
+      tsCol: String,
+      gapExpr: String): DataFrame =
+    df.groupBy(col(entity), session_window(col(tsCol), gapExpr))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_turns"))
+      .withColumnRenamed("session_window", "session_bounds")
+}

@@ -1,0 +1,254 @@
+package graft.tjk
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** O9 — mandated physical layouts (BASELINE.json:6, SURVEY.md §4.4). */
+object Layout {
+
+  /** Hash co-partition by entity (for merge joins / salted merges). */
+  def coPartitioned(df: DataFrame, entity: String, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions, col(entity))
+
+  /** Range-partitioned + sorted on (conv_id, turn_idx, ts) — the co-sorted
+    * layout the as-of sort-merge fallback and golden dumps rely on.
+    */
+  def rangeSorted(df: DataFrame, numPartitions: Int, cols: Seq[String]): DataFrame =
+    df.repartitionByRange(numPartitions, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+}
+
+/** O8 — skew handling for hot entities (SURVEY.md §2.1 O8, §4.2).
+  *
+  * Two result-invariant mechanisms:
+  *
+  *  - [[saltedAgg]]: two-phase aggregation for entity-level aggregates. A hot
+  *    key is split across `salt` subkeys (partial agg per (key, salt), merge
+  *    per key) so no single task owns a hot key's full row set. Exact for the
+  *    distributive aggs; nunique goes through a distinct-first two-shuffle
+  *    plan (the distinct's grouping key includes the value, which spreads a
+  *    hot entity across partitions by construction).
+  *  - [[chunkedRollingAgg]]: rolling windows over a hot entity. A Catalyst
+  *    Window node processes each partition-key group on ONE task — AQE skew
+  *    splitting does not apply (it is join-only). We chunk each entity's
+  *    timeline into spans ≥ the max window width, duplicate each chunk's last
+  *    `maxW` of rows into the next chunk as non-owner context, repartition by
+  *    (entity, chunk), and compute the trailing frames with an exact sliding
+  *    structure in mapPartitions, emitting owner rows only. Results are
+  *    byte-identical to [[Rolling.rollingAgg]] (property-tested).
+  */
+object Skew {
+
+  /** Two-phase salted aggregate of `valueCol` per `entity`.
+    * `saltBy`: any column whose values spread a hot key's rows (e.g. turn_idx).
+    * Output columns follow Rolling's naming/types: count/nunique → long,
+    * sum/mean/min/max → double.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      entity: String,
+      valueCol: String,
+      aggs: Seq[Agg],
+      salt: Int,
+      saltBy: String): DataFrame = {
+    val v = col(valueCol)
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(col(saltBy)), lit(salt.toLong)))
+      .groupBy(col(entity), col("__salt"))
+      .agg(
+        count(v).as("__cnt"),
+        sum(v.cast("double")).as("__sum"),
+        min(v.cast("double")).as("__min"),
+        max(v.cast("double")).as("__max"))
+    val distributive = partial.groupBy(col(entity)).agg(
+      sum(col("__cnt")).as(s"count_$valueCol"),
+      sum(col("__sum")).as(s"sum_$valueCol"),
+      (sum(col("__sum")) / sum(col("__cnt"))).as(s"mean_$valueCol"),
+      min(col("__min")).as(s"min_$valueCol"),
+      max(col("__max")).as(s"max_$valueCol"))
+
+    val wanted = aggs.map {
+      case Agg.NUnique => s"nunique_$valueCol"
+      case a           => s"${a.name}_$valueCol"
+    }
+    val base =
+      if (aggs.contains(Agg.NUnique)) {
+        // Exact distinct, skew-safe: the distinct spreads by (entity, value).
+        val nu = df.select(col(entity), v).where(v.isNotNull).distinct()
+          .groupBy(col(entity)).agg(count(lit(1)).as(s"nunique_$valueCol"))
+        distributive.join(nu, Seq(entity), "left")
+          .na.fill(0L, Seq(s"nunique_$valueCol"))
+      } else distributive
+    base.select((col(entity) +: wanted.map(col)): _*)
+  }
+
+  /** Exact rolling-window aggregates via overlap chunking — same semantics
+    * and output schema as [[Rolling.rollingAgg]], but a hot entity's rows are
+    * spread over ceil(timespan / chunkSpan) tasks instead of one.
+    *
+    * chunkSpanMicros must be ≥ max window width so each row's trailing frame
+    * lives entirely in its own chunk plus the previous chunk's tail (which is
+    * duplicated forward as context).
+    */
+  def chunkedRollingAgg(
+      df: DataFrame,
+      entity: String,
+      tsCol: String,
+      specs: Seq[RollingSpec],
+      chunkSpanMicros: Long,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(specs.nonEmpty, "no specs")
+    val maxW = specs.map(_.windowMicros).max
+    require(chunkSpanMicros >= maxW,
+      s"chunk span $chunkSpanMicros < max window $maxW")
+
+    val tm = tsMicros(col(tsCol))
+    val base = df
+      .withColumn("__tm", tm)
+      .withColumn("__chunk", expr(s"__tm div ${chunkSpanMicros}L"))
+    val owners = base.withColumn("__owner", lit(true))
+    // A row within maxW of its chunk's end is context for the next chunk.
+    val context = base
+      .where(pmod(col("__tm"), lit(chunkSpanMicros)) >= chunkSpanMicros - maxW)
+      .withColumn("__chunk", col("__chunk") + 1L)
+      .withColumn("__owner", lit(false))
+    val unioned = owners.unionByName(context)
+    val parts = numPartitions.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val sorted = unioned
+      .repartition(parts, col(entity), col("__chunk"))
+      .sortWithinPartitions(col(entity), col("__chunk"), col("__tm"))
+
+    val inSchema = df.schema
+    val sortedSchema = sorted.schema
+    val eIdx = sortedSchema.fieldIndex(entity)
+    val tmIdx = sortedSchema.fieldIndex("__tm")
+    val chunkIdx = sortedSchema.fieldIndex("__chunk")
+    val ownerIdx = sortedSchema.fieldIndex("__owner")
+    val nInput = inSchema.size
+    val specArr = specs.toArray
+    val colIdx = specArr.map(s => sortedSchema.fieldIndex(s.col))
+
+    val outSchema = StructType(inSchema.fields ++ specArr.map { s =>
+      val dt = s.agg match {
+        case Agg.Count | Agg.NUnique => LongType
+        case _                       => DoubleType
+      }
+      StructField(s.outName, dt, nullable = true)
+    })
+
+    sorted.mapPartitions { it =>
+      new Iterator[Seq[Row]] {
+        private val buf = it.buffered
+        private var curKey: (Any, Long) = null
+        private var states: Array[SlidingState] = _
+        private def reset(): Unit =
+          states = specArr.map(s => new SlidingState(s.agg))
+
+        override def hasNext: Boolean = buf.hasNext
+        override def next(): Seq[Row] = {
+          // Pull one equal-ts batch within one (entity, chunk) group.
+          val first = buf.next()
+          val key = (first.get(eIdx), first.getLong(chunkIdx))
+          if (curKey == null || key != curKey) { curKey = key; reset() }
+          val t = first.getLong(tmIdx)
+          val batch = mutable.ArrayBuffer(first)
+          while (buf.hasNext && {
+              val h = buf.head
+              (h.get(eIdx), h.getLong(chunkIdx)) == key && h.getLong(tmIdx) == t
+            }) batch += buf.next()
+
+          var i = 0
+          val strictVals = new Array[Any](specArr.length)
+          while (i < specArr.length) { // evict, snapshot strict frames
+            states(i).evictBefore(t - specArr(i).windowMicros)
+            if (specArr(i).strict) strictVals(i) = states(i).result
+            i += 1
+          }
+          batch.foreach { r =>
+            var j = 0
+            while (j < specArr.length) {
+              states(j).add(t, if (r.isNullAt(colIdx(j))) null else r.get(colIdx(j)))
+              j += 1
+            }
+          }
+          val vals = specArr.indices.map { j =>
+            if (specArr(j).strict) strictVals(j) else states(j).result
+          }
+          batch.iterator
+            .filter(_.getBoolean(ownerIdx))
+            .map(r => Row.fromSeq((0 until nInput).map(r.get) ++ vals))
+            .toSeq
+        }
+      }.flatten
+    }(Encoders.row(outSchema))
+  }
+
+  /** Incremental trailing-window state for one spec. Nulls are ignored by
+    * every agg (matching Spark's sum/avg/min/max/count(col)/collect_set).
+    */
+  private final class SlidingState(agg: Agg) {
+    private val q = mutable.ArrayDeque.empty[(Long, Any)]
+    private var nNonNull: Long = 0L
+    private var sum: Double = 0.0
+    // Multiset for min/max under FIFO eviction.
+    private val ordered = new java.util.TreeMap[Double, Int]()
+    private val counts = mutable.HashMap.empty[Any, Int]
+
+    private def toD(v: Any): Double = v match {
+      case d: Double  => d
+      case f: Float   => f.toDouble
+      case l: Long    => l.toDouble
+      case i: Int     => i.toDouble
+      case s: Short   => s.toDouble
+      case b: Byte    => b.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case other => throw new IllegalArgumentException(s"non-numeric: $other")
+    }
+
+    def add(ts: Long, v: Any): Unit = {
+      q.append((ts, v))
+      if (v != null) {
+        nNonNull += 1
+        agg match {
+          case Agg.Sum | Agg.Mean => sum += toD(v)
+          case Agg.Min | Agg.Max  => ordered.merge(toD(v), 1, (a, b) => a + b)
+          case Agg.NUnique =>
+            counts.updateWith(v) { c => Some(c.getOrElse(0) + 1) }
+          case Agg.Count =>
+        }
+      }
+    }
+
+    def evictBefore(minTs: Long): Unit =
+      while (q.nonEmpty && q.head._1 < minTs) {
+        val (_, v) = q.removeHead()
+        if (v != null) {
+          nNonNull -= 1
+          agg match {
+            case Agg.Sum | Agg.Mean => sum -= toD(v)
+            case Agg.Min | Agg.Max =>
+              val d = toD(v)
+              val c = ordered.get(d)
+              if (c <= 1) ordered.remove(d) else ordered.put(d, c - 1)
+            case Agg.NUnique =>
+              counts.updateWith(v) { c =>
+                if (c.contains(1)) None else c.map(_ - 1)
+              }
+            case Agg.Count =>
+          }
+        }
+      }
+
+    def result: Any = agg match {
+      case Agg.Count   => nNonNull
+      case Agg.NUnique => counts.size.toLong
+      case Agg.Sum     => if (nNonNull == 0) null else sum
+      case Agg.Mean    => if (nNonNull == 0) null else sum / nNonNull
+      case Agg.Min     => if (ordered.isEmpty) null else ordered.firstKey()
+      case Agg.Max     => if (ordered.isEmpty) null else ordered.lastKey()
+    }
+  }
+}

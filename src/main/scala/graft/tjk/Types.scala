@@ -1,0 +1,63 @@
+package graft.tjk
+
+import java.sql.Timestamp
+import java.time.Duration
+import org.apache.spark.sql.types._
+
+/** Input row shape mandated by BASELINE.json:15 (SURVEY.md §1.1).
+  * The reference checkout is empty (SURVEY.md §0.1), so no reference
+  * file:line citations are possible; semantics are pinned by the in-repo
+  * oracle (src/test/scala/graft/NaiveOracle.scala) per SURVEY.md §0.3.
+  */
+case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp)
+
+object Turn {
+  val schema: StructType = StructType(Seq(
+    StructField("conv_id", StringType),
+    StructField("turn_idx", IntegerType),
+    StructField("role", StringType),
+    StructField("text", StringType),
+    StructField("tool", StringType),
+    StructField("ts", TimestampType)))
+}
+
+/** Rolling aggregate kinds (BASELINE.json:6: count/sum/mean/min/max/nunique). */
+sealed trait Agg { def name: String }
+object Agg {
+  case object Count extends Agg { val name = "count" }
+  case object Sum extends Agg { val name = "sum" }
+  case object Mean extends Agg { val name = "mean" }
+  case object Min extends Agg { val name = "min" }
+  case object Max extends Agg { val name = "max" }
+  case object NUnique extends Agg { val name = "nunique" }
+  val all: Seq[Agg] = Seq(Count, Sum, Mean, Min, Max, NUnique)
+  def byName(n: String): Agg = all.find(_.name == n).getOrElse(
+    throw new IllegalArgumentException(s"unknown agg: $n"))
+}
+
+/** One time-window rolling feature: agg(col) over the trailing window
+  * [ts − window, ts] (strict ⇒ [ts − window, ts), zero-leakage either way —
+  * the frame upper bound never exceeds the current row's ts).
+  */
+case class RollingSpec(
+    col: String,
+    agg: Agg,
+    window: Duration,
+    strict: Boolean = false) {
+  def windowMicros: Long = window.toMillis * 1000L
+  def outName: String =
+    s"${agg.name}_${col}_${window.toSeconds}s" + (if (strict) "_strict" else "")
+}
+
+/** One row-frame rolling feature: agg(col) over the trailing n rows
+  * (current row included), ordered by (ts, tieCol) within the entity.
+  */
+case class RowsSpec(col: String, agg: Agg, rowsBack: Int) {
+  def outName: String = s"${agg.name}_${col}_r${rowsBack}"
+}
