@@ -14,10 +14,9 @@ import org.apache.spark.sql.functions._
   *  - [[sessionWindowAgg]] (session_window form): session-level aggregates
   *    via Spark's `session_window`, which works in batch (probed, SURVEY.md
   *    §2.9) and is the identical expression a Structured Streaming
-  *    incremental mode would use. NOTE its boundary differs by convention:
-  *    `session_window` closes a session at `last + gap` (a row at exactly
-  *    `prev + gap` starts a NEW session), while the window form splits only
-  *    when the gap strictly exceeds the threshold.
+  *    incremental mode would use. Probed boundary semantics match the window
+  *    form: a row at exactly `prev + gap` merges into the session; only a
+  *    gap strictly greater than the threshold splits.
   */
 object Sessionize {
 
