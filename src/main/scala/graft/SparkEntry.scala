@@ -31,6 +31,15 @@ object SparkEntry {
     "q13_topk"           -> (CoreQueries.topkPerGroup _),
     "q14_join_agg"       -> (CoreQueries.joinAgg _),
     "q15_json"           -> (CoreQueries.jsonAgg _),
+    "q16_text_stats"     -> (TextVecQueries.textStats _),
+    "q17_dedup_exact"    -> (TextVecQueries.dedupExact _),
+    "q18_ngram_jaccard"  -> (TextVecQueries.ngramJaccard _),
+    "q19_minhash_lsh"    -> (TextVecQueries.minhashLsh _),
+    "q20_simhash"        -> (TextVecQueries.simhashPairs _),
+    "q21_ann_cosine"     -> (TextVecQueries.annCosine _),
+    "q22_dedup_embed"    -> (TextVecQueries.dedupEmbed _),
+    "q23_ann_ivf"        -> (TextVecQueries.annIvf _),
+    "q24_media"          -> (TextVecQueries.mediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +60,13 @@ object SparkEntry {
     "q13_topk"           -> CoreQueries.topkPerGroupSql,
     "q14_join_agg"       -> CoreQueries.joinAggSql,
     "q15_json"           -> CoreQueries.jsonAggSql,
+    "q16_text_stats"     -> TextVecQueries.textStatsSql,
+    "q17_dedup_exact"    -> TextVecQueries.dedupExactSql,
+    "q18_ngram_jaccard"  -> TextVecQueries.ngramJaccardSql,
+    "q19_minhash_lsh"    -> TextVecQueries.minhashLshSql,
+    // q20_simhash / q23_ann_ivf / q24_media: xxhash64 / approximate /
+    // stub-decode — not DuckDB-expressible → rows-only checks by design.
+    "q21_ann_cosine"     -> TextVecQueries.annCosineSql,
+    "q22_dedup_embed"    -> TextVecQueries.dedupEmbedSql,
   )
 }

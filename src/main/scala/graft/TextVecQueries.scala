@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tjk._
+
+/** Training-data pipeline queries over documents/embeddings: dedup (exact /
+  * n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine), similarity
+  * search (brute-force + IVF), text analysis, multimodal plumbing.
+  * SQL-expressible ops carry a DuckDB oracle; approximate/hash ops that
+  * DuckDB cannot replicate (xxhash64-based SimHash, IVF, media stub) are
+  * rows-only and pinned by unit tests instead (TextVecSuite).
+  */
+object TextVecQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "embeddings")
+
+  // ------------------------------------------------------------ text analysis
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(docs(spark, dir))
+      .select("doc_id", "n_tokens", "n_bpeish", "punct_ratio",
+        "stop_ratio", "lang_pred", "quality_score", "fp")
+      .orderBy("doc_id")
+
+  val textStatsSql: String = {
+    val sEn = TextOps.stopCountSql("en")
+    val sEs = TextOps.stopCountSql("es")
+    val sDe = TextOps.stopCountSql("de")
+    val sFr = TextOps.stopCountSql("fr")
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |s AS (SELECT doc_id, text,
+       |  CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish,
+       |  round(len(regexp_extract_all(text, '[.!?,;:]')) * 1.0 / nullif(length(text), 0), 6) AS punct_ratio,
+       |  $sEn AS s_en, $sEs AS s_es, $sDe AS s_de, $sFr AS s_fr
+       |FROM w),
+       |r AS (SELECT *, round(s_en * 1.0 / nullif(n_tokens, 0), 6) AS stop_ratio FROM s)
+       |SELECT doc_id, n_tokens, n_bpeish, punct_ratio, stop_ratio,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+       |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+       |       WHEN s_fr > 0 THEN 'fr'
+       |       ELSE 'unknown' END AS lang_pred,
+       |  round(1.0 / (1.0 + exp(-(0.5 * ln(1 + n_tokens) - 5.0 * punct_ratio - 2.0 * stop_ratio))), 6) AS quality_score,
+       |  md5(text) AS fp
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ dedup
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exactDedup(docs(spark, dir)).orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+      |      FROM fp GROUP BY fp)
+      |SELECT f.doc_id, f.fp, g.canonical_id, g.group_size
+      |FROM fp f JOIN g USING (fp) ORDER BY f.doc_id""".stripMargin
+
+  /** Shared DuckDB shingle CTE (word 3-grams, distinct per doc). */
+  private val shingleCte: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |       WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ws[i.x] || ' ' || ws[i.x+1] || ' ' || ws[i.x+2] AS g
+      |       FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS i(x))""".stripMargin
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextOps.ngramJaccardPairs(docs(spark, dir), threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  val ngramJaccardSql: String =
+    s"""WITH $shingleCte,
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+       |FROM pr JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE round(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashLshPairs(docs(spark, dir), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val minhashLshSql: String = {
+    val k = TextOps.MinHashK
+    val r = k / TextOps.Bands
+    val sigs = (0 until k).map(j => s"min(md5('$j:' || g)) AS s$j").mkString(", ")
+    val bands = (0 until TextOps.Bands).map { b =>
+      val cat = (0 until r).map(i => s"s${b * r + i}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS h FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until k)
+      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, round(($matches) / 32.0, 6) AS est_sim
+       |FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
+       |WHERE round(($matches) / 32.0, 6) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** xxhash64-based → no DuckDB oracle (rows-only); pinned by TextVecSuite. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashPairs(docs(spark, dir), maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  // ------------------------------------------------------------ similarity search
+
+  def annCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    VectorOps.bruteForceTopKFast(q,
+        e.select(col("vec_id").as("vid"), col("embedding").as("ve")), k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  val annCosineSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |p AS (SELECT qid, e.vec_id AS vid,
+      |  (SELECT sum(CAST(u.a AS DOUBLE) * CAST(u.b AS DOUBLE))
+      |     FROM (SELECT UNNEST(qe) AS a, UNNEST(e.embedding) AS b) u) AS dp,
+      |  (SELECT sum(CAST(u.a AS DOUBLE) * CAST(u.a AS DOUBLE))
+      |     FROM (SELECT UNNEST(qe) AS a) u) AS nq,
+      |  (SELECT sum(CAST(u.b AS DOUBLE) * CAST(u.b AS DOUBLE))
+      |     FROM (SELECT UNNEST(e.embedding) AS b) u) AS nv
+      |FROM q, embeddings e WHERE e.vec_id != qid),
+      |s AS (SELECT qid, vid, round(dp / (sqrt(nq) * sqrt(nv)), 6) AS cos FROM p),
+      |r AS (SELECT qid, vid, cos,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS INTEGER) AS rank
+      |FROM s)
+      |SELECT qid, vid, cos, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.cosineNearDupPairsFast(embs(spark, dir), threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  val dedupEmbedSql: String =
+    """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
+      |     FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u) AS dp,
+      |  (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+      |     FROM (SELECT UNNEST(a.embedding) AS x) u) AS na,
+      |  (SELECT sum(CAST(u.y AS DOUBLE) * CAST(u.y AS DOUBLE))
+      |     FROM (SELECT UNNEST(b.embedding) AS y) u) AS nb
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos
+      |FROM p WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Approximate by design → rows-only; recall pinned by TextVecSuite. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfTopK(embs(spark, dir), col("vec_id") < 10,
+        k = 5, nCells = 16, nProbe = 4)
+      .orderBy("qid", "rank")
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Stubbed decode (no codec libs in-container) → rows-only. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.extractFeatures(MediaOps.syntheticMedia(docs(spark, dir)))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("header_hex"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        size(col("frame_hashes")).as("n_frames"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tjk._
+
+/** Pins the ops that have no DuckDB oracle (SimHash, MinHash recall, IVF
+  * recall, media plumbing) and the dedup laws, on planted duplicates.
+  */
+class TextVecSuite extends SparkTestBase {
+  import spark.implicits._
+
+  /** 40 base docs of word salad + for ids < 8 a near-duplicate (drop last 2
+    * of ~40 words, id+1000) + for ids < 4 an exact duplicate (id+2000).
+    */
+  private lazy val planted = {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "the", "a", "of", "data", "spark", "table")
+    val rng = new scala.util.Random(7L)
+    val base = (0 until 40).map { i =>
+      val words = (0 until 40 + rng.nextInt(10)).map(_ => vocab(rng.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDups = base.filter(_._1 < 8).map { case (i, t) =>
+      (i + 1000L, t.split(" ").dropRight(2).mkString(" "))
+    }
+    val exactDups = base.filter(_._1 < 4).map { case (i, t) => (i + 2000L, t) }
+    spark.createDataset(base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exactDedup groups exact copies under the min id") {
+    val out = TextOps.exactDedup(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    (0 until 4).foreach { i =>
+      assert(out(i.toLong) == ((i.toLong, 2L)), s"group of $i")
+      assert(out(i + 2000L) == ((i.toLong, 2L)), s"copy of $i")
+    }
+    assert(out(10L)._2 == 1L)
+  }
+
+  test("ngram Jaccard finds every planted near-dup with high similarity") {
+    val pairs = TextOps.ngramJaccardPairs(planted, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until 8).foreach { i =>
+      val j = pairs.get((i.toLong, i + 1000L))
+      assert(j.exists(_ >= 0.8), s"missing near-dup pair $i → ${i + 1000}: $j")
+    }
+    // exact copies have jaccard 1.0
+    (0 until 4).foreach { i =>
+      assert(pairs((i.toLong, i + 2000L)) == 1.0)
+    }
+  }
+
+  test("minhash LSH recalls all planted near-dups and estimates within 0.25 of exact") {
+    val exact = TextOps.ngramJaccardPairs(planted, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = TextOps.minhashLshPairs(planted, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until 8).foreach { i =>
+      val key = (i.toLong, i + 1000L)
+      assert(lsh.contains(key), s"LSH missed planted pair $key")
+      assert(math.abs(lsh(key) - exact(key)) <= 0.25,
+        s"estimate off at $key: lsh=${lsh(key)} exact=${exact(key)}")
+    }
+  }
+
+  test("simhash: planted near-dups within hamming 6; signature is deterministic") {
+    val pairs = TextOps.simhashPairs(planted, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 4).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 2000L)), s"exact copy pair $i missing (hamming 0)")
+    }
+    val s1 = TextOps.simhash(planted).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s2 = TextOps.simhash(planted.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == s2, "simhash not partition-invariant")
+  }
+
+  test("IVF top-k achieves >= 0.5 recall@5 vs brute force on real embeddings") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val bf = VectorOps.bruteForceTopK(q,
+        e.select(col("vec_id").as("vid"), col("embedding").as("ve")), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.ivfTopK(e, col("vec_id") < 10, 5, nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+    // every IVF hit must carry the exact cosine of the brute-force path
+    assert(ivf.subsetOf(
+      VectorOps.bruteForceTopK(q,
+        e.select(col("vec_id").as("vid"), col("embedding").as("ve")), 500)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
+  test("fast primitive paths == expression-tree paths (pairs + topk)") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairSet(VectorOps.cosineNearDupPairsFast(e, 0.35)) ==
+      pairSet(VectorOps.cosineNearDupPairs(e, 0.35)))
+    val q = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    def topkSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(topkSet(VectorOps.bruteForceTopKFast(q, c, 5)) ==
+      topkSet(VectorOps.bruteForceTopK(q, c, 5)))
+  }
+
+  test("media plumbing: schema, batch shape, deterministic stub features") {
+    val media = MediaOps.syntheticMedia(planted.withColumn("doc_id", col("doc_id")))
+    val feats = MediaOps.extractFeatures(media, batchSize = 8).collect()
+    assert(feats.length == planted.count())
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    // exact text copies → identical blobs → identical features modulo frames
+    assert(byId(0L).header_hex == byId(2000L).header_hex)
+    assert(byId(0L).mean_byte == byId(2000L).mean_byte)
+    assert(byId(0L).n_bytes == byId(2000L).n_bytes)
+    // deterministic under repartition
+    val again = MediaOps.extractFeatures(media.repartition(5), batchSize = 3)
+      .collect().map(f => f.doc_id -> f.frame_hashes).toMap
+    feats.foreach(f => assert(again(f.doc_id) == f.frame_hashes))
+  }
+
+  test("text stats: token counts and langid on a handmade doc") {
+    val d = Seq((1L, "the cat of the house is in the garden"),
+                (2L, "xyz qqq zzz")).toDF("doc_id", "text")
+    val out = TextOps.textStats(d).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 9L)
+    assert(out(1L).getAs[String]("lang_pred") == "en")
+    assert(out(2L).getAs[String]("lang_pred") == "unknown")
+  }
+}
