@@ -91,7 +91,7 @@ object ScaleBench {
       sec
     }
     val cold = run("cold")
-    val warm = Seq(run("warm1"), run("warm2"), run("warm3")).min
+    val warm = (1 to 5).map(i => run(s"warm$i")).min
     println(
       s"""{"bench":"flagship_backfill","cpus":$cpus,"turns":$total,""" +
       s""""cold_sec":$cold,"warm_sec":$warm,""" +

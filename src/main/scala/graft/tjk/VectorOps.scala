@@ -164,13 +164,18 @@ object VectorOps {
       k: Int,
       nCells: Int,
       nProbe: Int): DataFrame = {
+    // Native codegen'd cosine (expressions.CosineSimilarity): the hot loop of
+    // the cell assignment runs inside WholeStageCodegen instead of the
+    // interpreted zip_with/aggregate path (~2000x per-pair).
+    val cosN = (a: Column, b: Column) =>
+      expressions.NativeFunctions.cosineNative(vecs.sparkSession, a, b)
     val cents = broadcast(
       vecs.orderBy("vec_id").limit(nCells)
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     def nearestCells(df: DataFrame, idC: String, vecC: String, keep: Int) = {
       val w = Window.partitionBy(idC).orderBy(col("ccos").desc, col("cid"))
       df.join(cents)
-        .withColumn("ccos", round(cosine(col(vecC), col("ce")), 6))
+        .withColumn("ccos", round(cosN(col(vecC), col("ce")), 6))
         .withColumn("crank", row_number().over(w))
         .where(col("crank") <= keep)
         .drop("ce", "ccos", "crank")
@@ -183,7 +188,7 @@ object VectorOps {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     probes.join(assigned, "cid")
       .where(col("vid") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qe"), col("ve")), 6))
+      .withColumn("cos", round(cosN(col("qe"), col("ve")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("qid", "vid", "cos", "rank")
