@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only profiler: time individual query stages at a given SF dir. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      System.err.println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+    }
+
+    import graft.tjk._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.read(spark, sfDir, "documents")
+    val embs = Tables.read(spark, sfDir, "embeddings")
+
+    time("docs count")(docs.count())
+    time("shingles")(TextOps.shingles(docs).count())
+    val sig = TextOps.minhashSignatures(docs).cache()
+    time("minhash signatures")(sig.count())
+    val r = TextOps.MinHashK / TextOps.Bands
+    val bands = sig.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${TextOps.Bands - 1}), " +
+          s"b -> struct(b AS band, md5(array_join(slice(sig, b * $r + 1, $r), '|')) AS h))"
+      )).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    time("bands")(bands.count())
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    time("cand")(cand.count())
+    time("q19 full")(TextVecQueries.minhashLsh(spark, sfDir).count())
+    time("q19 again (warm)")(TextVecQueries.minhashLsh(spark, sfDir).count())
+    time("q22 collect side")(embs.count())
+    time("q22 full")(TextVecQueries.dedupEmbed(spark, sfDir).count())
+    time("q22 again (warm)")(TextVecQueries.dedupEmbed(spark, sfDir).count())
+    time("q20 simhash sig")(TextOps.simhash(docs).count())
+    time("q20 full")(TextVecQueries.simhashPairs(spark, sfDir).count())
+    spark.stop()
+  }
+}

@@ -32,6 +32,17 @@ object TextOps {
   def withTokens(docs: DataFrame): DataFrame =
     docs.withColumn("ws", split(col("text"), " "))
 
+  /** Spread a narrow input across all cores before a big per-row fan-out
+    * (shingle/hash explode multiplies rows 32–64×). A small corpus often
+    * arrives as ONE parquet split, which would serialize the whole fan-out
+    * stage; at scale inputs already have ≥ parallelism splits and this is a
+    * no-op (no shuffle added).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   // ------------------------------------------------------------ text analysis
 
   private val stop = Map(
@@ -102,7 +113,7 @@ object TextOps {
 
   /** Distinct word k-shingles per doc; docs shorter than k words drop out. */
   def shingles(docs: DataFrame, k: Int = Shingle, idCol: String = "doc_id"): DataFrame =
-    withTokens(docs)
+    withTokens(spread(docs))
       .where(size(col("ws")) >= k)
       .select(col(idCol), explode(expr(
         s"array_distinct(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k))))"
@@ -127,35 +138,54 @@ object TextOps {
 
   // ------------------------------------------------------------ MinHash + LSH
 
-  private def sigCols: Seq[Column] =
-    (0 until MinHashK).map(j => min(md5(concat_ws(":", lit(j), col("g")))).as(s"s$j"))
-
-  /** Per-doc MinHash signature (s0..s31) from word shingles. */
+  /** Per-doc MinHash signature as `sig: array<string>[MinHashK]`.
+    *
+    * Deliberately NARROW plan: one row per (doc, hash-index) through the
+    * aggregation instead of MinHashK separate `min(md5(…))` agg columns.
+    * The wide form is semantically identical but generates enormous
+    * whole-stage-codegen classes (MinHashK string agg buffers) whose janino
+    * compile alone cost ~40 s cold — plan width, not data volume, was the
+    * bottleneck. Values are unchanged: `md5(j || ':' || g)` per (j, shingle),
+    * `min` per (doc, j), assembled in j order.
+    */
   def minhashSignatures(docs: DataFrame, k: Int = Shingle): DataFrame =
-    shingles(docs, k).groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    shingles(docs, k)
+      // plain explode + md5, NOT a transform(...) lambda: higher-order
+      // functions evaluate interpreted (no codegen) — on the hot
+      // rows×MinHashK path that was 5× slower than the wide form it replaced
+      .select(col("doc_id"), col("g"),
+        explode(expr(s"sequence(0, ${MinHashK - 1})")).as("j"))
+      .select(col("doc_id"), col("j"),
+        md5(concat(col("j").cast("string"), lit(":"), col("g"))).as("h"))
+      .groupBy("doc_id", "j")
+      .agg(min(col("h")).as("mh"))
+      .groupBy("doc_id")
+      // 1 row per doc from here on — interpreted HOF assembly is fine
+      .agg(expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")
+        .as("sig"))
 
   /** LSH candidate pairs with estimated similarity ≥ threshold. */
   def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sig = minhashSignatures(docs).cache()
     val r = MinHashK / Bands
-    val bandCol = explode(array((0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until r).map(i => col(s"s${b * r + i}")): _*)).as("h"))
-    }: _*)).as("bh")
-    val bands = sig.select(col("doc_id"), bandCol)
+    // band hash = md5 over the band's signature slice, '|'-joined (array
+    // form of the original concat_ws over named columns — same bytes).
+    val bands = sig.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> struct(b AS band, md5(array_join(slice(sig, b * $r + 1, $r), '|')) AS h))"
+      )).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_a" else c + "_a"): _*)
-    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "id_b" else c + "_b"): _*)
-    val matches = (0 until MinHashK)
-      .map(j => when(col(s"s${j}_a") === col(s"s${j}_b"), 1).otherwise(0))
-      .reduce(_ + _)
+    val sa = sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
     cand.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_sim", round(matches.cast("double") / MinHashK, 6))
+      .withColumn("est_sim", round(
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast("double") / MinHashK, 6))
       .where(col("est_sim") >= threshold)
       .select("id_a", "id_b", "est_sim")
   }
@@ -166,16 +196,20 @@ object TextOps {
     * correctness pinned by the planted-duplicate unit test).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val tok = withTokens(docs).select(col(idCol), explode(col("ws")).as("w"))
+    // Narrow plan (same values as 64 per-bit agg columns, which codegen'd
+    // into a pathologically large class — see minhashSignatures note):
+    // one row per (doc, bit) through the aggregation, then fold the 64
+    // per-bit signs back into the long.
+    withTokens(spread(docs)).select(col(idCol), explode(col("ws")).as("w"))
       .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1L, 1L).otherwise(-1L)).as(s"b$i")
-    }
-    val agg = tok.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"b$i") > 0L, expr(s"CAST(1 AS BIGINT) << $i")).otherwise(0L))
-      .reduce(_ + _) // bits are disjoint powers of two — sum == bitwise-or
-    agg.select(col(idCol), sig.as("simhash"))
+      .select(col(idCol), col("h"), explode(expr("sequence(0, 63)")).as("i"))
+      .groupBy(idCol, "i")
+      .agg(sum(when(expr("(h >> i) & 1") === 1L, 1L).otherwise(-1L)).as("b"))
+      .groupBy(idCol)
+      // bits are disjoint powers of two — sum == bitwise-or
+      .agg(sum(when(col("b") > 0L,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L))
+        .as("simhash"))
   }
 
   /** SimHash near-dup pairs: share one of four 16-bit bands AND Hamming ≤ maxHamming. */

@@ -88,7 +88,14 @@ object VectorOps {
     val all = ds.collect().sortBy(_._1)
     val norms = all.map(v => normPrim(v._2))
     val bc = spark.sparkContext.broadcast((all, norms))
-    ds.mapPartitions { it =>
+    // The corpus often arrives as ONE parquet split at this size — spread the
+    // O(n²/2) pair loop across all cores, it is embarrassingly parallel.
+    val parts = spark.sparkContext.defaultParallelism
+    // round6(x) ≥ t ⟺ x ≥ t − 5e-7 (t a multiple of 1e-6, HALF_UP): gate on
+    // the raw value with 1e-6 slack so the (allocating) BigDecimal rounding
+    // runs only on near-threshold survivors, not on every pair.
+    val rawGate = threshold - 1e-6
+    ds.repartition(parts).mapPartitions { it =>
       val (b, bn) = bc.value
       it.flatMap { case (ida, ea) =>
         val na = normPrim(ea)
@@ -97,8 +104,11 @@ object VectorOps {
         while (j < b.length) {
           val (idb, eb) = b(j)
           if (idb > ida) {
-            val cos = round6(dotPrim(ea, eb) / (na * bn(j)))
-            if (cos >= threshold) out += ((ida, idb, cos))
+            val raw = dotPrim(ea, eb) / (na * bn(j))
+            if (raw >= rawGate) {
+              val cos = round6(raw)
+              if (cos >= threshold) out += ((ida, idb, cos))
+            }
           }
           j += 1
         }
