@@ -40,6 +40,7 @@ object SparkEntry {
     "q22_dedup_embed"    -> (TextVecQueries.dedupEmbed _),
     "q23_ann_ivf"        -> (TextVecQueries.annIvf _),
     "q24_media"          -> (TextVecQueries.mediaFeatures _),
+    "q25_asof_native"    -> (CoreQueries.asofNative _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +69,6 @@ object SparkEntry {
     // stub-decode — not DuckDB-expressible → rows-only checks by design.
     "q21_ann_cosine"     -> TextVecQueries.annCosineSql,
     "q22_dedup_embed"    -> TextVecQueries.dedupEmbedSql,
+    "q25_asof_native"    -> CoreQueries.asofBackwardSql,
   )
 }

@@ -45,6 +45,9 @@ class AsOfSuite extends SparkTestBase {
   private val merge = (s: DataFrame, e: DataFrame, en: String, st: String,
       et: String, p: Seq[String], tie: Option[String], tol: Option[Duration],
       strict: Boolean) => AsOf.asofJoinMerge(s, e, en, st, et, p, tie, tol, strict)
+  private val native = (s: DataFrame, e: DataFrame, en: String, st: String,
+      et: String, p: Seq[String], tie: Option[String], tol: Option[Duration],
+      strict: Boolean) => AsOf.asofJoinNative(s, e, en, st, et, p, tie, tol, strict)
 
   private def naive(strict: Boolean, tol: Option[Duration]): Map[Int, Option[Double]] = {
     val sp = spine.map { case (e, _, t) => (e, t.getTime * 1000L) }
@@ -53,7 +56,8 @@ class AsOfSuite extends SparkTestBase {
     spine.map(_._2).zip(res).toMap
   }
 
-  for ((name, f) <- Seq("window-primary" -> primary, "sort-merge-fallback" -> merge)) {
+  for ((name, f) <- Seq("window-primary" -> primary,
+      "sort-merge-fallback" -> merge, "native-catalyst" -> native)) {
     test(s"$name: backward, ties by greatest tie, exact matches included") {
       val got = run(f, strict = false, tol = None)
       assert(got == Map(0 -> None, 1 -> Some(2.0), 2 -> Some(2.0),
@@ -95,6 +99,11 @@ class AsOfSuite extends SparkTestBase {
           .map(r => (r.getString(0), r.getInt(1)) ->
             (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
         assert(a == b, s"primary vs fallback strict=$strict tol=$tol")
+        val c = AsOf.asofJoinNative(sp, ev, "conv_id", "ts", "ev_ts", Seq("pv"), Some("tie"), tol, strict)
+          .select("conv_id", "turn_idx", "pv").collect()
+          .map(r => (r.getString(0), r.getInt(1)) ->
+            (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+        assert(a == c, s"primary vs native strict=$strict tol=$tol")
         val nsp = turns.map(t => (t.conv_id, NaiveOracle.micros(t.ts)))
         val nev = evSeq.map(t => (t.conv_id, NaiveOracle.micros(t.ts), t.turn_idx.toLong, t.text.length.toDouble))
         val n = turns.map(t => (t.conv_id, t.turn_idx))

@@ -49,6 +49,16 @@ class PlanShapeSuite extends SparkTestBase {
     assert(exchanges(df) == 1)
   }
 
+  test("native as-of operator plans as AsOfJoinExec, one shuffle per side") {
+    val spine = turns.select("conv_id", "turn_idx", "ts")
+    val ev = turns.where(col("tool").isNotNull)
+      .select(col("conv_id"), col("ts").as("ev_ts"), col("value").as("pv"))
+    val df = AsOf.asofJoinNative(spine, ev, "conv_id", "ts", "ev_ts", Seq("pv"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin "), s"native operator missing:\n$plan")
+    assert(exchanges(df) == 2) // one per side; no union'd third exchange
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val plan = CoreQueries.joinAgg(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.toString
