@@ -22,7 +22,9 @@ import graft.tjk._
   */
 object ScaleBench {
 
-  def flagship(turns: DataFrame): DataFrame = {
+  def flagship(turns: DataFrame): DataFrame = flagship(turns, native = true)
+
+  def flagship(turns: DataFrame, native: Boolean): DataFrame = {
     val withValue = turns.withColumn("value", length(col("text")).cast("double"))
     val spec = FeatureSpec(
       rolling = Seq(
@@ -47,8 +49,24 @@ object ScaleBench {
     val side = withValue.where(col("tool") === "code")
       .select(col("conv_id"), col("ts").as("side_ts"),
         col("turn_idx").cast("long").as("side_tie"), col("value").as("side_value"))
-    val joined = AsOf.asofJoin(features, side, "conv_id", "ts", "side_ts",
-      payload = Seq("side_value"), tieCol = Some("side_tie"))
+    // Two as-of paths, A/B-benchable (TJK_ASOF=union|native|both):
+    //  - native (AsOfJoinExec): the features side is ALREADY hash-partitioned
+    //    by conv_id from the window exchange and the operator preserves it,
+    //    so only the (much smaller) side table shuffles, and the final
+    //    session groupBy reuses the same partitioning — ONE full-width
+    //    exchange for the whole job (pinned by PlanShapeSuite). On a real
+    //    cluster exchanges are network; this is the 100 TB cost structure.
+    //  - union (window-tag): re-shuffles the unioned 100M+ rows and loses
+    //    the partitioning through its struct packing (3 full-width
+    //    exchanges), but every operator is codegen'd; in local mode, where
+    //    an exchange is a memory/disk copy, this can win on CPU.
+    val joined =
+      if (native)
+        AsOf.asofJoinNative(features, side, "conv_id", "ts", "side_ts",
+          payload = Seq("side_value"), tieCol = Some("side_tie"))
+      else
+        AsOf.asofJoin(features, side, "conv_id", "ts", "side_ts",
+          payload = Seq("side_value"), tieCol = Some("side_tie"))
     // Terminal aggregation so .count() executes every operator (§3.3).
     joined.groupBy("conv_id", "session_id").agg(
       count(lit(1)).as("n_turns"),
@@ -65,13 +83,20 @@ object ScaleBench {
     val medianLen = args.lift(2).map(_.toInt).getOrElse(20)
     val dataDir = s"/tmp/tjk_bench/turns_${nConvs}_$medianLen"
 
+    // Tunables for the scaling experiments (defaults = the reported config).
+    val parts = sys.env.get("TJK_SHUFFLE_PARTS").map(_.toInt).getOrElse(2 * cpus)
+    val coalesce = sys.env.getOrElse("TJK_AQE_COALESCE", "true")
+    val aqe = sys.env.getOrElse("TJK_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("tjk-scalebench")
-      .config("spark.sql.shuffle.partitions", 2 * cpus)
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/tmp/tjk_spark_local")
+      .config("spark.local.dir",
+        sys.env.getOrElse("TJK_LOCAL_DIR", "/tmp/tjk_spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -83,20 +108,34 @@ object ScaleBench {
     val turns = spark.read.parquet(dataDir)
     val total = turns.count()
 
-    def run(label: String): Double = {
+    def run(label: String, native: Boolean): Double = {
       val t0 = System.nanoTime()
-      val n = flagship(turns).count()
+      val n = flagship(turns, native).count()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[scalebench] $label: $n sessions in $sec%.1f s")
       sec
     }
-    val cold = run("cold")
-    val warm = (1 to 5).map(i => run(s"warm$i")).min
-    println(
-      s"""{"bench":"flagship_backfill","cpus":$cpus,"turns":$total,""" +
-      s""""cold_sec":$cold,"warm_sec":$warm,""" +
-      s""""cold_turns_per_sec":${(total / cold).toLong},""" +
-      s""""warm_turns_per_sec":${(total / warm).toLong}}""")
+    val variants = sys.env.getOrElse("TJK_ASOF", "union") match {
+      case "both" => Seq("union" -> false, "native" -> true)
+      case "native" => Seq("native" -> true)
+      case _ => Seq("union" -> false)
+    }
+    val warms = sys.env.get("TJK_WARMS").map(_.toInt).getOrElse(5)
+    val colds = variants.map { case (name, nat) => name -> run(s"cold-$name", nat) }.toMap
+    // Interleave the variants' warm runs so both see the same interference
+    // window, and take min-of-N per variant: this sandbox shows 2-3x
+    // run-to-run swings from external (hypervisor-level) noise — the minimum
+    // is the only statistic that reflects the job rather than the neighbors.
+    val times = (1 to warms).flatMap { i =>
+      variants.map { case (name, nat) => name -> run(s"warm$i-$name", nat) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    variants.foreach { case (name, _) =>
+      println(
+        s"""{"bench":"flagship_backfill","variant":"$name","cpus":$cpus,""" +
+        s""""turns":$total,"cold_sec":${colds(name)},"warm_sec":${times(name)},""" +
+        s""""cold_turns_per_sec":${(total / colds(name)).toLong},""" +
+        s""""warm_turns_per_sec":${(total / times(name)).toLong}}""")
+    }
     spark.stop()
   }
 }

@@ -59,6 +59,16 @@ class PlanShapeSuite extends SparkTestBase {
     assert(exchanges(df) == 2) // one per side; no union'd third exchange
   }
 
+  test("flagship backfill + native as-of + session agg: ONE full-width shuffle") {
+    // The whole pipeline: windows partition by conv_id (1 exchange), the
+    // native as-of preserves that partitioning (side table adds 1 small
+    // exchange), and the final (conv_id, session_id) groupBy is satisfied by
+    // HashPartitioning(conv_id) — NO third exchange. This is the flagship's
+    // cost structure at 100 TB.
+    val df = ScaleBench.flagship(turnsDf(Gen.turnsSeq(42L, 4, 20)))
+    assert(exchanges(df) == 2, df.queryExecution.executedPlan.toString)
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val plan = CoreQueries.joinAgg(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.toString
