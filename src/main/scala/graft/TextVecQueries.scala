@@ -142,22 +142,59 @@ object TextVecQueries {
       |FROM s)
       |SELECT qid, vid, cos, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Sign-LSH bucketed near-dup (VectorOps.cosineNearDupPairsLsh) — the
+    * 100 TB path: no driver collect, no all-pairs join. The oracle replicates
+    * the full pipeline (md5-derived Rademacher planes → sign signature →
+    * 16×4-bit bands → candidate buckets → exact cosine verify), mirroring how
+    * q19 replicates MinHash banding; recall vs the exact all-pairs path is
+    * pinned separately in TextVecSuite.
+    */
   def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
-    VectorOps.cosineNearDupPairsFast(embs(spark, dir), threshold = 0.4)
+    VectorOps.cosineNearDupPairsLsh(embs(spark, dir), threshold = 0.4)
       .orderBy("id_a", "id_b")
 
-  val dedupEmbedSql: String =
-    """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
-      |     FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u) AS dp,
-      |  (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
-      |     FROM (SELECT UNNEST(a.embedding) AS x) u) AS na,
-      |  (SELECT sum(CAST(u.y AS DOUBLE) * CAST(u.y AS DOUBLE))
-      |     FROM (SELECT UNNEST(b.embedding) AS y) u) AS nb
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-      |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos
-      |FROM p WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
-      |ORDER BY id_a, id_b""".stripMargin
+  val dedupEmbedSql: String = {
+    val p = VectorOps.LshPlanes
+    val b = VectorOps.LshBands
+    val r = p / b
+    s"""WITH pl AS (
+       |  SELECT p.x AS p, i.x AS i,
+       |    CASE WHEN substring(md5(CAST(p.x AS VARCHAR) || ':' || CAST(i.x AS VARCHAR)), 1, 1)
+       |         IN ('0','1','2','3','4','5','6','7')
+       |         THEN CAST(1 AS FLOAT) ELSE CAST(-1 AS FLOAT) END AS r
+       |  FROM UNNEST(generate_series(0, ${p - 1})) AS p(x),
+       |       UNNEST(generate_series(0, 63)) AS i(x)
+       |),
+       |plw AS (SELECT p, list(r ORDER BY i) AS w FROM pl GROUP BY p),
+       |dots AS (
+       |  SELECT e.vec_id, plw.p,
+       |    (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.w AS DOUBLE))
+       |       FROM (SELECT UNNEST(e.embedding) AS x, UNNEST(plw.w) AS w) u) AS d
+       |  FROM embeddings e, plw
+       |),
+       |sig AS (SELECT vec_id,
+       |        string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bitstr
+       |        FROM dots GROUP BY vec_id),
+       |bands AS (
+       |  SELECT vec_id, b.x AS band, md5(substring(bitstr, b.x * $r + 1, $r)) AS h
+       |  FROM sig, UNNEST(generate_series(0, ${b - 1})) AS b(x)
+       |),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.h = y.h AND x.vec_id < y.vec_id),
+       |pr AS (SELECT id_a, id_b,
+       |  (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.y AS DOUBLE))
+       |     FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y) u) AS dp,
+       |  (SELECT sum(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE))
+       |     FROM (SELECT UNNEST(a.embedding) AS x) u) AS na,
+       |  (SELECT sum(CAST(u.y AS DOUBLE) * CAST(u.y AS DOUBLE))
+       |     FROM (SELECT UNNEST(b.embedding) AS y) u) AS nb
+       |  FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+       |            JOIN embeddings b ON b.vec_id = cand.id_b)
+       |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos
+       |FROM pr WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Approximate by design → rows-only; recall pinned by TextVecSuite. */
   def annIvf(spark: SparkSession, dir: String): DataFrame =

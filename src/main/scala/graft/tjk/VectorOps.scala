@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Sign-LSH defaults: 64 hyperplanes in 16 bands of 4 bits. Shared with the
+    * DuckDB oracle SQL (TextVecQueries) so both engines band identically. */
+  val LshPlanes = 64
+  val LshBands = 16
+
   /** Σ aᵢ·bᵢ in double, sequential index order. */
   def dot(a: Column, b: Column): Column =
     aggregate(
@@ -60,6 +65,76 @@ object VectorOps {
       .select("id_a", "id_b", "cos")
   }
 
+  // ------------------------------------------------- sign-LSH near-dup (scale path)
+
+  /** Deterministic Rademacher hyperplane matrix (nPlanes × dim): w[p][i] = +1
+    * if the first hex char of md5("p:i") is in 0–7 (high bit of the first
+    * nibble clear) else −1. The same formula is evaluated as SQL md5 by the
+    * DuckDB oracle, so both engines derive bit-identical planes with no RNG
+    * and no shipped state.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) == 0) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** Near-duplicate pairs (cosine ≥ threshold) via random-hyperplane LSH —
+    * the 100 TB path, mirroring the [[TextOps.minhashLshPairs]] band-join
+    * shape; no driver collect, no all-pairs join anywhere:
+    *
+    *  1. per-vector sign signature (nPlanes bits) via the codegen'd
+    *     [[expressions.HyperplaneSignature]] — one narrow scan;
+    *  2. signature split into `bands` md5-hashed bands; candidate pairs =
+    *     vectors sharing a (band, hash) bucket — shuffle is on the band hash,
+    *     so work is proportional to bucket sizes, not n²;
+    *  3. candidates verified with the exact codegen'd cosine (join back to
+    *     the corpus by id — candidates stay id-only through the shuffle).
+    *
+    * Approximate by construction: a qualifying pair that shares no band is
+    * missed (P[miss] = (1−pʳ)^B with p = 1 − θ/π). With the 64/16 defaults,
+    * recall ≈ 0.94 at cosine 0.4 and > 0.999 at the 0.9+ thresholds real
+    * near-dup dedup runs at; precision is exactly 1 (every emitted pair
+    * carries its true cosine). Recall vs the exact path is pinned in
+    * TextVecSuite; bit-exactness is pinned by the driver's DuckDB oracle,
+    * which replicates planes, signatures, banding, and verification.
+    */
+  def cosineNearDupPairsLsh(
+      vecs: DataFrame,
+      threshold: Double,
+      dim: Int = 64,
+      nPlanes: Int = LshPlanes,
+      bands: Int = LshBands): DataFrame = {
+    require(nPlanes % bands == 0, s"bands $bands must divide nPlanes $nPlanes")
+    val spark = vecs.sparkSession
+    val r = nPlanes / bands
+    val sig = vecs.select(col("vec_id"),
+      expressions.NativeFunctions.hyperplaneSigNative(
+        spark, col("embedding"), hyperplanes(nPlanes, dim)).as("bitstr"))
+    val bandRows = sig.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS band, md5(substring(bitstr, b * $r + 1, $r)) AS h))"
+      )).as("bh"))
+      .select(col("vec_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val cand = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val va = vecs.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val vb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val cosN = expressions.NativeFunctions.cosineNative(
+      spark, col("ea"), col("eb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", round(cosN, 6))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Matches Spark's round(x, 6): decimal HALF_UP on the double's value. */
   private def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
@@ -72,13 +147,12 @@ object VectorOps {
   }
   private def normPrim(a: Array[Float]): Double = math.sqrt(dotPrim(a, a))
 
-  /** Exact pairwise near-dup, fast path: one side broadcast as primitive
-    * float arrays, the other streamed partition-by-partition with a tight
-    * primitive dot loop — identical values to [[cosineNearDupPairs]] (same
-    * sequential double arithmetic, same HALF_UP rounding), no per-pair
-    * allocations, no 2M-row join shuffle. At 100 TB the broadcast side is a
-    * block: wrap this in a loop over corpus blocks (block-nested cartesian),
-    * or prefilter candidates with [[TextOps.minhashLshPairs]]-style LSH.
+  /** Exact pairwise near-dup, fast primitive path — TEST/ORACLE ONLY (like
+    * [[cosineNearDupPairs]]): it collects the corpus to the driver and runs
+    * an O(n²) pair loop, which is a driver-OOM + quadratic-work dead end at
+    * scale. The production path is [[cosineNearDupPairsLsh]] (bucketed, no
+    * driver materialization); this one exists to pin the LSH path's recall
+    * and exactness on small fixtures.
     */
   def cosineNearDupPairsFast(vecs: DataFrame, threshold: Double): DataFrame = {
     val spark = vecs.sparkSession
@@ -122,13 +196,25 @@ object VectorOps {
     * (ordered by (rounded cos desc, vid asc) — the same total order as the
     * final ranking, so per-partition pruning cannot drop a global winner),
     * then a tiny final window ranks parts×k rows per query. Scale shape:
-    * corpus never shuffles; reduce output is O(parts·|Q|·k).
+    * corpus never shuffles; reduce output is O(parts·|Q|·k). The query set
+    * is broadcast, so its size is a hard contract: at most `maxQueries`
+    * rows — an oversized set fails loudly (limit pushes down, so the guard
+    * never scans more than maxQueries+1 rows) instead of OOMing the driver;
+    * larger query sets belong in [[ivfTopK]] or an LSH prefilter.
     */
-  def bruteForceTopKFast(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopKFast(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      maxQueries: Int = 4096): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val qs = queries.select(col("qid").cast("long"), col("qe"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qs0 = queries.select(col("qid").cast("long"), col("qe"))
+      .as[(Long, Array[Float])].limit(maxQueries + 1).collect()
+    require(qs0.length <= maxQueries,
+      s"bruteForceTopKFast: query set exceeds maxQueries=$maxQueries " +
+        "(broadcast contract); use ivfTopK or raise the bound explicitly")
+    val qs = qs0.sortBy(_._1)
     val qNorms = qs.map(q => normPrim(q._2))
     val bc = spark.sparkContext.broadcast((qs, qNorms))
     val partial = corpus.select(col("vid").cast("long"), col("ve"))

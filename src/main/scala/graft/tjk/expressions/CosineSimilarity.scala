@@ -98,17 +98,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object NativeFunctions {
   val cosineName = "tjk_cosine"
+  val hyperplaneSigName = "tjk_hyperplane_sig"
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName,
       { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      hyperplaneSigName,
+      { exprs: Seq[Expression] => HyperplaneSignature(exprs(0), exprs(1)) },
+      "built-in")
+  }
 
   /** Column-API handle: cosineNative($"a", $"b") (requires register()). */
   def cosineNative(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     import org.apache.spark.sql.functions.{call_function => cf}
     cf(cosineName, a, b)
+  }
+
+  /** Column-API handle for the sign-LSH signature: the plane matrix is
+    * passed as a typed literal so the expression sees a foldable constant.
+    */
+  def hyperplaneSigNative(
+      spark: SparkSession, e: Column, planes: Seq[Seq[Float]]): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{call_function => cf, typedlit}
+    cf(hyperplaneSigName, e, typedlit(planes))
   }
 }

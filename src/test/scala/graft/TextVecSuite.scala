@@ -93,6 +93,58 @@ class TextVecSuite extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("sign-LSH near-dup: precision 1 vs exact path, recall >= 0.85, no driver collect") {
+    val e = Tables.read(spark, "/root/testdata/sf0.01", "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(VectorOps.cosineNearDupPairsFast(e, 0.4))
+    val lsh = pairs(VectorOps.cosineNearDupPairsLsh(e, 0.4))
+    // precision exactly 1: every LSH pair is a true pair with the true cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"LSH emitted non-exact pair $k -> $c")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.85, s"LSH recall $recall (${lsh.size}/${exact.size})")
+    // scale guard: the plan's leaves are all file scans — nothing was
+    // collected to the driver and re-injected as a LocalRelation
+    val plan = VectorOps.cosineNearDupPairsLsh(e, 0.4)
+      .queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves().map(_.nodeName).distinct
+    assert(leaves.forall(_.contains("Relation")) &&
+      !leaves.exists(_.contains("LocalRelation")),
+      s"unexpected plan leaves: $leaves")
+  }
+
+  test("hyperplane signature: deterministic, matches an interpreted recompute") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val planes = VectorOps.hyperplanes(64, 64)
+    val sigCol = graft.tjk.expressions.NativeFunctions
+      .hyperplaneSigNative(spark, col("embedding"), planes)
+    val out = e.select(col("vec_id"), sigCol.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    // independent Scala recompute of one signature (same float→double math)
+    val first = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val (vid, emb) = first.head
+    val expected = planes.map { w =>
+      var d = 0.0; var i = 0
+      while (i < emb.length) { d += emb(i).toDouble * w(i).toDouble; i += 1 }
+      if (d >= 0) '1' else '0'
+    }.mkString
+    assert(out(vid) == expected)
+  }
+
+  test("bruteForceTopKFast refuses an oversized query set instead of collecting it") {
+    val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.bruteForceTopKFast(q, c, k = 5, maxQueries = 3)
+    }
+    assert(ex.getMessage.contains("maxQueries"))
+  }
+
   test("fast primitive paths == expression-tree paths (pairs + topk)") {
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
