@@ -391,6 +391,239 @@ object CoreQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ------------------------------------------------- O8: chunked rolling (skew path)
+
+  /** The overlap-chunked rolling window (Skew.chunkedRollingAgg) — the skew
+    * mechanism for hot entities — against the SAME window SQL shape as q01:
+    * chunking is result-invariant, so the plain window oracle is the
+    * strongest possible check of the chunk/context/owner machinery.
+    */
+  def chunkedRolling(spark: SparkSession, dir: String): DataFrame =
+    Skew.chunkedRollingAgg(t(spark, dir), "conv_id", "ts", Seq(
+        RollingSpec("value", Agg.Count, H1),
+        RollingSpec("value", Agg.Sum, H1),
+        RollingSpec("value", Agg.Min, D1),
+        RollingSpec("value", Agg.Max, D1)),
+      chunkSpanMicros = D1.toMillis * 1000L)
+      .select(col("conv_id"), col("turn_idx"),
+        col("count_value_3600s"),
+        round(col("sum_value_3600s"), 6).as("sum_value_3600s"),
+        col("min_value_86400s"), col("max_value_86400s"))
+      .orderBy("conv_id", "turn_idx")
+
+  val chunkedRollingSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, turn_idx,
+       |  count(value) OVER w1 AS count_value_3600s,
+       |  round(sum(value) OVER w1, 6) AS sum_value_3600s,
+       |  min(value) OVER w2 AS min_value_86400s,
+       |  max(value) OVER w2 AS max_value_86400s
+       |FROM t
+       |WINDOW
+       |  w1 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+       |  w2 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  /** O3 exact windowed nunique through the bounded-memory chunked path
+    * (incremental multiset state, O(distinct-in-frame) per task instead of
+    * collect_set's per-row frame heap) — same oracle as q04.
+    */
+  def chunkedNunique(spark: SparkSession, dir: String): DataFrame =
+    Skew.chunkedRollingAgg(t(spark, dir), "conv_id", "ts", Seq(
+        RollingSpec("role", Agg.NUnique, H1),
+        RollingSpec("tool", Agg.NUnique, D1)),
+      chunkSpanMicros = D1.toMillis * 1000L)
+      .select(col("conv_id"), col("turn_idx"),
+        col("nunique_role_3600s"), col("nunique_tool_86400s"))
+      .orderBy("conv_id", "turn_idx")
+
+  // ---------------------------------------------------------------- O4: lead
+
+  /** lead() offsets (label/target building; leaky-by-design and therefore
+    * prefixed __leaky_ by Offsets.leads — unprefixed only at the output
+    * boundary of this labels query).
+    */
+  def leadOffsets(spark: SparkSession, dir: String): DataFrame =
+    Offsets.leads(t(spark, dir), "conv_id", Seq("turn_idx", "ts"),
+        Seq(("value", 1), ("value", 3)))
+      .select(col("conv_id"), col("turn_idx"),
+        col("__leaky_lead_value_1").as("lead_value_1"),
+        col("__leaky_lead_value_3").as("lead_value_3"))
+      .orderBy("conv_id", "turn_idx")
+
+  val leadOffsetsSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, turn_idx,
+       |  lead(value, 1) OVER wo AS lead_value_1,
+       |  lead(value, 3) OVER wo AS lead_value_3
+       |FROM t
+       |WINDOW wo AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+       |ORDER BY conv_id, turn_idx""".stripMargin
+
+  // ------------------------------------------------- 2.4: range/interval join
+
+  /** Session-membership lookup: each purchase event lands in the one session
+    * interval that contains it (equi on conv_id + ts BETWEEN bounds — the
+    * equi key keeps this a hash/sort-merge join with a range residual, never
+    * a nested-loop; pinned in PlanShapeSuite).
+    */
+  def rangeJoinSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessionAgg(t(spark, dir), "conv_id", "ts", "turn_idx", GAP)
+      .select(col("conv_id").as("s_conv"), col("session_id"),
+        col("session_start"), col("session_end"))
+    val p = purchases(spark, dir)
+    p.join(sess, p("conv_id") === sess("s_conv") &&
+        p("ev_ts").between(col("session_start"), col("session_end")))
+      .groupBy(col("conv_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_purch"), round(sum(col("pv")), 4).as("sum_pv"))
+      .orderBy("conv_id", "session_id")
+  }
+
+  val rangeJoinSessionsSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |$sessionSeqCte,
+       |sess AS (
+       |  SELECT conv_id, conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+       |         min(ts) AS session_start, max(ts) AS session_end
+       |  FROM s GROUP BY conv_id, session_seq
+       |),
+       |$purchasesSqlCte
+       |SELECT e.conv_id, sess.session_id,
+       |  count(*) AS n_purch, round(sum(e.pv), 4) AS sum_pv
+       |FROM ev e JOIN sess
+       |  ON e.conv_id = sess.conv_id
+       | AND e.ev_ts BETWEEN sess.session_start AND sess.session_end
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- 2.4: semi / anti joins
+
+  /** Spine hygiene (anti): conversations with no high-value purchase turn
+    * (value > 95 — selective on this corpus, so the anti side is non-trivial
+    * in both directions: some conversations match, some don't).
+    */
+  def antiJoinNoPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir)
+    val conv = base.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+    val purch = base.where(col("role") === "purchase" && col("value") > 95)
+      .select("conv_id")
+    conv.join(purch, Seq("conv_id"), "left_anti").orderBy("conv_id")
+  }
+
+  val antiJoinNoPurchaseSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, count(*) AS n_turns
+       |FROM t
+       |WHERE NOT EXISTS (SELECT 1 FROM t p
+       |                  WHERE p.conv_id = t.conv_id
+       |                    AND p.role = 'purchase' AND p.value > 95)
+       |GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  /** Spine filter (semi): per-conversation turn counts, kept only where the
+    * conversation has at least one high-value purchase turn (complement of
+    * the anti query above).
+    */
+  def semiJoinSignup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir)
+    val conv = base.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
+    val purch = base.where(col("role") === "purchase" && col("value") > 95)
+      .select("conv_id")
+    conv.join(purch, Seq("conv_id"), "left_semi").orderBy("conv_id")
+  }
+
+  val semiJoinSignupSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT conv_id, count(*) AS n_turns
+       |FROM t
+       |WHERE EXISTS (SELECT 1 FROM t p
+       |              WHERE p.conv_id = t.conv_id
+       |                AND p.role = 'purchase' AND p.value > 95)
+       |GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  // ------------------------------------------------- 2.6: set operations
+
+  /** INTERSECT / EXCEPT over conversation key sets (high-value purchasers vs
+    * high-value signups — both sets and both differences are non-trivial on
+    * this corpus), tagged and stacked so one deterministic output exercises
+    * both operators.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir)
+    val purch = base.where(col("role") === "purchase" && col("value") > 95)
+      .select("conv_id")
+    val signup = base.where(col("role") === "signup" && col("value") > 95)
+      .select("conv_id")
+    purch.intersect(signup).withColumn("op", lit("both"))
+      .unionByName(purch.except(signup).withColumn("op", lit("purchase_only")))
+      .orderBy("op", "conv_id")
+  }
+
+  val setOpsSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |p AS (SELECT conv_id FROM t WHERE role = 'purchase' AND value > 95),
+       |s AS (SELECT conv_id FROM t WHERE role = 'signup' AND value > 95)
+       |SELECT conv_id, 'both' AS op FROM (SELECT * FROM p INTERSECT SELECT * FROM s)
+       |UNION ALL
+       |SELECT conv_id, 'purchase_only' AS op FROM (SELECT * FROM p EXCEPT SELECT * FROM s)
+       |ORDER BY op, conv_id""".stripMargin
+
+  // ------------------------------------------------- 2.5: rollup / grouping sets
+
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir)
+      .rollup("role", "tool")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("value")), 0).as("sum_value"))
+      .select("role", "tool", "gid", "n", "sum_value")
+      .orderBy("gid", "role", "tool")
+
+  val rollupAggSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT role, tool,
+       |  CAST(grouping(role) * 2 + grouping(tool) AS BIGINT) AS gid,
+       |  count(*) AS n, round(sum(value), 0) AS sum_value
+       |FROM t GROUP BY ROLLUP (role, tool)
+       |ORDER BY gid, role, tool""".stripMargin
+
+  // ------------------------------------------------- O10/O11: lineage + resume
+
+  /** Bucket-granular checkpoint/resume driven end-to-end: run a per-bucket
+    * aggregation job twice into the same directory — the second run must
+    * skip every bucket off its manifest and reproduce identical counts and
+    * content hashes. Output is the per-bucket manifest row count, which the
+    * DuckDB oracle recomputes independently (the bucket function is
+    * md5-derived so both engines agree); the resume/skip/hash invariants are
+    * require()d in-query, so a violation fails the driver run loudly.
+    */
+  def lineageResume(spark: SparkSession, dir: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("tjk_q33_lineage")
+      .toFile.getAbsolutePath
+    val input = t(spark, dir)
+    // md5-derived bucket (last hex char mod 8) — DuckDB-replicable, unlike
+    // the xxhash64 default.
+    val bucketOf = pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8))
+    val job = (d: DataFrame) => d.groupBy("conv_id")
+      .agg(count(lit(1)).as("n_turns"), round(sum(col("value")), 4).as("sum_value"))
+    val r1 = Resume.runBucketed(spark, input, "conv_id", outDir, 8, Some(bucketOf))(job)
+    val r2 = Resume.runBucketed(spark, input, "conv_id", outDir, 8, Some(bucketOf))(job)
+    require(r1.forall(!_.skipped), "first run must compute every bucket")
+    require(r2.forall(_.skipped), "second run must resume-skip every bucket")
+    require(
+      r1.map(r => (r.bucket, r.rowCount, r.contentHash)) ==
+        r2.map(r => (r.bucket, r.rowCount, r.contentHash)),
+      "resumed manifests diverged from the originals")
+    import spark.implicits._
+    r1.map(r => (r.bucket, r.rowCount)).toDF("bucket", "row_count")
+      .orderBy("bucket")
+  }
+
+  val lineageResumeSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT CAST(ascii(substring(md5(conv_id), 32, 1)) % 8 AS INTEGER) AS bucket,
+       |       count(DISTINCT conv_id) AS row_count
+       |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ------------------------------------------------- joins / ranking / JSON parity
+
   def jsonAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "events")
       .select(col("event_type"),

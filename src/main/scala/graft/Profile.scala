@@ -29,12 +29,7 @@ object Profile {
     time("shingles")(TextOps.shingles(docs).count())
     val sig = TextOps.minhashSignatures(docs).cache()
     time("minhash signatures")(sig.count())
-    val r = TextOps.MinHashK / TextOps.Bands
-    val bands = sig.select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${TextOps.Bands - 1}), " +
-          s"b -> struct(b AS band, md5(array_join(slice(sig, b * $r + 1, $r), '|')) AS h))"
-      )).as("bh"))
-      .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    val bands = TextOps.minhashBandRows(sig)
     time("bands")(bands.count())
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&

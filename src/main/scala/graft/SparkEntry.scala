@@ -41,6 +41,15 @@ object SparkEntry {
     "q23_ann_ivf"        -> (TextVecQueries.annIvf _),
     "q24_media"          -> (TextVecQueries.mediaFeatures _),
     "q25_asof_native"    -> (CoreQueries.asofNative _),
+    "q26_chunked_rolling"-> (CoreQueries.chunkedRolling _),
+    "q27_lead"           -> (CoreQueries.leadOffsets _),
+    "q28_chunked_nunique"-> (CoreQueries.chunkedNunique _),
+    "q29_range_join"     -> (CoreQueries.rangeJoinSessions _),
+    "q30_anti_join"      -> (CoreQueries.antiJoinNoPurchase _),
+    "q31_semi_join"      -> (CoreQueries.semiJoinSignup _),
+    "q32_setops"         -> (CoreQueries.setOps _),
+    "q33_lineage_resume" -> (CoreQueries.lineageResume _),
+    "q34_rollup"         -> (CoreQueries.rollupAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,5 +79,16 @@ object SparkEntry {
     "q21_ann_cosine"     -> TextVecQueries.annCosineSql,
     "q22_dedup_embed"    -> TextVecQueries.dedupEmbedSql,
     "q25_asof_native"    -> CoreQueries.asofBackwardSql,
+    // q26/q28: chunking is result-invariant → the plain window SQL is the
+    // oracle (q28 reuses q04's count(DISTINCT) OVER shape exactly).
+    "q26_chunked_rolling"-> CoreQueries.chunkedRollingSql,
+    "q27_lead"           -> CoreQueries.leadOffsetsSql,
+    "q28_chunked_nunique"-> CoreQueries.rollingNuniqueSql,
+    "q29_range_join"     -> CoreQueries.rangeJoinSessionsSql,
+    "q30_anti_join"      -> CoreQueries.antiJoinNoPurchaseSql,
+    "q31_semi_join"      -> CoreQueries.semiJoinSignupSql,
+    "q32_setops"         -> CoreQueries.setOpsSql,
+    "q33_lineage_resume" -> CoreQueries.lineageResumeSql,
+    "q34_rollup"         -> CoreQueries.rollupAggSql,
   )
 }

@@ -73,11 +73,20 @@ object TextVecQueries {
     TextOps.ngramJaccardPairs(docs(spark, dir), threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  /** Replicates the HotShingleDf candidate cap: candidates come from rare
+    * shingles only; Jaccard is verified over the FULL shingle sets.
+    */
   val ngramJaccardSql: String =
     s"""WITH $shingleCte,
+       |hot AS (SELECT g FROM sh GROUP BY g HAVING count(*) > ${TextOps.HotShingleDf}),
+       |rare AS (SELECT doc_id, g FROM sh ANTI JOIN hot USING (g)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id),
        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-       |       FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |pr AS (SELECT id_a, id_b, count(*) AS inter
+       |       FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+       |                 JOIN sh sb ON sb.doc_id = cand.id_b AND sb.g = sa.g
+       |       GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  round(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
        |FROM pr JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b

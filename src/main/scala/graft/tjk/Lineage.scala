@@ -61,9 +61,16 @@ object Resume {
       input: DataFrame,
       entity: String,
       outDir: String,
-      buckets: Int)(job: DataFrame => DataFrame): Seq[BucketResult] = {
+      buckets: Int,
+      bucketCol: Option[org.apache.spark.sql.Column] = None)(
+      job: DataFrame => DataFrame): Seq[BucketResult] = {
     val root = new java.io.File(outDir)
     root.mkdirs()
+    // Default bucket function: xxhash64(entity) mod buckets. Callers may
+    // substitute any deterministic int expression over the input row (e.g.
+    // an md5-derived bucket that an external engine can replicate).
+    val bucketOf = bucketCol.getOrElse(
+      pmod(xxhash64(col(entity)), lit(buckets.toLong)))
     (0 until buckets).map { b =>
       val bucketDir = new java.io.File(root, s"bucket=$b")
       val manifestFile = new java.io.File(root, s"manifest_$b.json")
@@ -74,8 +81,7 @@ object Resume {
         // Recompute from scratch for this bucket only.
         if (bucketDir.exists()) deleteRec(bucketDir)
         if (manifestFile.exists()) manifestFile.delete()
-        val slice = input.where(
-          pmod(xxhash64(col(entity)), lit(buckets.toLong)) === b.toLong)
+        val slice = input.where(bucketOf.cast("long") === b.toLong)
         val out = job(slice)
         val tmp = new java.io.File(root, s"_tmp_bucket_$b")
         if (tmp.exists()) deleteRec(tmp)

@@ -54,6 +54,30 @@ object Rolling {
     }
   }
 
+  /** Approximate windowed nunique — the bounded-memory FAST path for O3:
+    * HyperLogLog++ over the same trailing range frame, O(1) sketch state per
+    * frame evaluation vs collect_set's O(frame·distinct) heap. Use for
+    * monitoring/coarse features where ±rsd is acceptable; the exact
+    * bounded-memory path at skew scale is [[Skew.chunkedRollingAgg]] with
+    * [[Agg.NUnique]] (incremental multiset, O(distinct-in-frame) total).
+    */
+  def approxRollingNunique(
+      df: DataFrame,
+      entity: String,
+      tsCol: String,
+      valueCol: String,
+      window: java.time.Duration,
+      rsd: Double = 0.05,
+      strict: Boolean = false): DataFrame = {
+    val micros = window.toMillis * 1000L
+    val frame = Window.partitionBy(col(entity)).orderBy(tsMicros(col(tsCol)))
+      .rangeBetween(-micros, if (strict) -1L else 0L)
+    df.withColumn(
+      s"approx_nunique_${valueCol}_${window.toSeconds}s" +
+        (if (strict) "_strict" else ""),
+      approx_count_distinct(col(valueCol), rsd).over(frame))
+  }
+
   private[tjk] def aggColumn(agg: Agg, c: String, frame: WindowSpec): Column =
     agg match {
       case Agg.Count   => count(col(c)).over(frame)

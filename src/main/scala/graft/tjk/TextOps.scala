@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * Dedup family:
   *  - exact: md5 fingerprint groupBy (one shuffle on the hash).
   *  - n-gram Jaccard: exact pairwise Jaccard over word k-shingles, candidate
-  *    pairs blocked by shared shingle (a pair with zero shared shingles has
-  *    Jaccard 0 and is correctly absent) — shuffle is on the shingle, so a
-  *    hot document spreads across partitions.
+  *    pairs blocked by shared NON-HOT shingle (a pair with zero shared
+  *    shingles has Jaccard 0 and is correctly absent; the [[HotShingleDf]]
+  *    cap keeps one ubiquitous shingle from creating a quadratic hot block)
+  *    — shuffle is on the shingle, so a hot document spreads across
+  *    partitions.
   *  - MinHash+LSH: 32 md5-based min-hashes → 8 bands × 4 rows; candidates =
   *    pairs sharing a band; similarity estimated as matching-component
   *    fraction. md5 (not xxhash64) so the DuckDB oracle can replicate
@@ -28,19 +30,30 @@ object TextOps {
   val MinHashK = 32
   val Bands = 8 // rows per band = MinHashK / Bands = 4
 
+  /** Candidate-join guard: shingles appearing in more document sets than this
+    * are excluded from candidate GENERATION (never from Jaccard verification).
+    * A shingle with document frequency f contributes O(f²) candidate pairs,
+    * so one ubiquitous shingle would otherwise create a quadratic hot block.
+    */
+  val HotShingleDf = 128
+
   /** Word tokens (single-space corpus; split is regex-free on both engines). */
   def withTokens(docs: DataFrame): DataFrame =
     docs.withColumn("ws", split(col("text"), " "))
 
-  /** Spread a narrow input across all cores before a big per-row fan-out
-    * (shingle/hash explode multiplies rows 32–64×). A small corpus often
-    * arrives as ONE parquet split, which would serialize the whole fan-out
-    * stage; at scale inputs already have ≥ parallelism splits and this is a
-    * no-op (no shuffle added).
+  /** Spread a genuinely SMALL input across all cores before a big per-row
+    * fan-out (shingle/hash explode multiplies rows 32–64×): a small corpus
+    * often arrives as ONE parquet split, which would serialize the whole
+    * fan-out stage. Decided from optimizer statistics — NOT
+    * `df.rdd.getNumPartitions`, which physically plans the query a second
+    * time just to read a partition count. Large inputs (≥ ~32 MB/core, i.e.
+    * anything that already splits well) pass through untouched — no shuffle.
     */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(p.toLong) * 32L * 1024 * 1024
+    if (small) df.repartition(p) else df
   }
 
   // ------------------------------------------------------------ text analysis
@@ -119,13 +132,42 @@ object TextOps {
         s"array_distinct(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k))))"
       )).as("g"))
 
-  /** Exact n-gram Jaccard near-dup pairs (j ≥ threshold). */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double, k: Int = Shingle): DataFrame = {
+  /** Candidate pairs sharing ≥1 NON-HOT shingle (df ≤ maxShingleDf).
+    * Package-visible so the hot-shingle bound is directly testable.
+    */
+  private[graft] def ngramCandidates(
+      sh: DataFrame, maxShingleDf: Int): DataFrame = {
+    val hot = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select("g")
+    // The hot set is tiny by construction (few shingles exceed the cap);
+    // AQE turns this anti-join into a broadcast.
+    val rare = sh.join(hot, Seq("g"), "left_anti")
+    rare.select(col("doc_id").as("id_a"), col("g"))
+      .join(rare.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (j ≥ threshold) over candidates
+    * sharing at least one non-hot shingle. The [[HotShingleDf]] cap applies
+    * to candidate generation ONLY; survivors are verified with exact Jaccard
+    * over their FULL shingle sets (hot shingles included), so emitted values
+    * are the true Jaccard. A pair whose EVERY shared shingle is hot is
+    * missed — at threshold 0.8 a true pair shares ≥ 80% of its shingle
+    * union, so any realistic cap loses nothing (planted-hot-shingle property
+    * pinned in TextVecSuite; the DuckDB oracle replicates the cap).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      k: Int = Shingle,
+      maxShingleDf: Int = HotShingleDf): DataFrame = {
     val sh = shingles(docs, k)
+    val cand = ngramCandidates(sh, maxShingleDf)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("id_a"), col("g"))
-    val b = sh.select(col("doc_id").as("id_b"), col("g"))
-    val inter = a.join(b, Seq("g")).where(col("id_a") < col("id_b"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
@@ -164,17 +206,25 @@ object TextOps {
       .agg(expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")
         .as("sig"))
 
-  /** LSH candidate pairs with estimated similarity ≥ threshold. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs).cache()
+  /** MinHash LSH band rows (doc_id, band, h) from a signature column: band
+    * hash = md5 over the band's signature slice, '|'-joined (array form of
+    * the original concat_ws over named columns — same bytes). Shared with
+    * the Profile stage-timer so the profiled banding can never drift from
+    * the production banding.
+    */
+  private[graft] def minhashBandRows(sig: DataFrame): DataFrame = {
     val r = MinHashK / Bands
-    // band hash = md5 over the band's signature slice, '|'-joined (array
-    // form of the original concat_ws over named columns — same bytes).
-    val bands = sig.select(col("doc_id"), explode(expr(
+    sig.select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, md5(array_join(slice(sig, b * $r + 1, $r), '|')) AS h))"
       )).as("bh"))
       .select(col("doc_id"), col("bh.band").as("band"), col("bh.h").as("h"))
+  }
+
+  /** LSH candidate pairs with estimated similarity ≥ threshold. */
+  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sig = minhashSignatures(docs).cache()
+    val bands = minhashBandRows(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
           col("x.doc_id") < col("y.doc_id"))

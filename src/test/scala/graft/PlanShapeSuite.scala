@@ -76,6 +76,14 @@ class PlanShapeSuite extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("range join (session membership) keeps its equi key — no nested loop") {
+    val plan = CoreQueries.rangeJoinSessions(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join degraded to a nested loop:\n$plan")
+  }
+
   test("parquet scan prunes columns (fat text column never read when unused)") {
     val t = Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .groupBy("lang").agg(count(lit(1)).as("n"))

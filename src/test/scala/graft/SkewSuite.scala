@@ -57,6 +57,22 @@ class SkewSuite extends SparkTestBase {
     }
   }
 
+  test("approx windowed nunique tracks the exact path within HLL tolerance") {
+    val exact = Rolling.rollingAgg(skewed, "conv_id", "ts",
+        Seq(RollingSpec("tool", Agg.NUnique, H1)))
+      .select("conv_id", "turn_idx", "nunique_tool_3600s").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val approx = Rolling.approxRollingNunique(skewed, "conv_id", "ts", "tool", H1)
+      .select("conv_id", "turn_idx", "approx_nunique_tool_3600s").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) <= math.max(1L, math.ceil(0.15 * e).toLong),
+        s"approx nunique off at $k: approx=$a exact=$e")
+    }
+  }
+
   test("saltedAgg == plain groupBy aggregate") {
     val plain = skewed.groupBy("conv_id").agg(
         count(col("value")).as("count_value"),

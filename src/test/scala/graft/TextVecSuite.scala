@@ -50,6 +50,43 @@ class TextVecSuite extends SparkTestBase {
     }
   }
 
+  test("hot-shingle cap bounds candidates without losing true near-dup pairs") {
+    // Append the SAME sentinel trigram to every doc: one shingle with
+    // document frequency = |corpus|, the classic quadratic hot block.
+    val salted = planted.withColumn("text",
+      concat(col("text"), lit(" zqx wvu tsr")))
+    val sh = TextOps.shingles(salted)
+    val nDocs = salted.count()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(TextOps.ngramCandidates(sh, maxShingleDf = 10))
+    val uncapped = TextOps.ngramCandidates(sh, maxShingleDf = Int.MaxValue).count()
+    // uncapped: the sentinel makes EVERY pair a candidate (all-pairs)
+    assert(uncapped == nDocs * (nDocs - 1) / 2, s"uncapped=$uncapped")
+    // capped: no candidate from the base corpus is lost, and the candidate
+    // count stays far below all-pairs (the few additions vs the unsalted
+    // corpus are legitimate RARE boundary shingles the splice created —
+    // "lastword zqx wvu" collides between docs sharing a last word — not
+    // hot-shingle leakage)
+    val base = pairSet(TextOps.ngramCandidates(
+      TextOps.shingles(planted), maxShingleDf = 10))
+    assert(base.subsetOf(capped), s"cap lost ${(base -- capped).size} candidates")
+    assert(capped.size < uncapped / 2,
+      s"capped=${capped.size} not bounded vs all-pairs $uncapped")
+    // and no TRUE pair is lost: every planted near-dup/exact-dup still found,
+    // with exact Jaccard verified over FULL shingle sets (sentinel included)
+    val pairs = TextOps.ngramJaccardPairs(salted, threshold = 0.7,
+        maxShingleDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until 8).foreach { i =>
+      assert(pairs.get((i.toLong, i + 1000L)).exists(_ >= 0.7),
+        s"capped run lost near-dup pair $i -> ${i + 1000}")
+    }
+    (0 until 4).foreach { i =>
+      assert(pairs((i.toLong, i + 2000L)) == 1.0)
+    }
+  }
+
   test("minhash LSH recalls all planted near-dups and estimates within 0.25 of exact") {
     val exact = TextOps.ngramJaccardPairs(planted, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
