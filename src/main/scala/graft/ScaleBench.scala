@@ -22,7 +22,12 @@ import graft.tjk._
   */
 object ScaleBench {
 
-  def flagship(turns: DataFrame): DataFrame = flagship(turns, native = true)
+  /** 1-arg overload follows the SAME TJK_ASOF-derived default as the bench
+    * harness (union unless TJK_ASOF=native), so the API default and the
+    * benched config cannot silently diverge.
+    */
+  def flagship(turns: DataFrame): DataFrame =
+    flagship(turns, native = sys.env.get("TJK_ASOF").contains("native"))
 
   def flagship(turns: DataFrame, native: Boolean): DataFrame = {
     val withValue = turns.withColumn("value", length(col("text")).cast("double"))

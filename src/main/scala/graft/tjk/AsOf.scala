@@ -144,6 +144,14 @@ object AsOf {
     import org.apache.spark.sql.tjkbridge.Bridge
     val collisions = payload.toSet.intersect(spine.columns.toSet)
     require(collisions.isEmpty, s"payload collides with spine columns: $collisions")
+    // Reserved internal attribute names: a spine __ltm would be silently
+    // replaced by withColumn below; a payload __re/__rtm/__rtie would shadow
+    // the right side's join attributes.
+    require(!spine.columns.contains("__ltm"),
+      "spine column name __ltm is reserved by asofJoinNative")
+    val reservedPay = payload.toSet.intersect(Set("__re", "__rtm", "__rtie"))
+    require(reservedPay.isEmpty,
+      s"payload column names reserved by asofJoinNative: $reservedPay")
     val spark = spine.sparkSession
     Bridge.injectStrategy(spark, plans.AsOfJoinStrategy)
 

@@ -249,25 +249,76 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
-  /** IVF: centroids = the nCells lowest vec_ids (deterministic, no RNG —
-    * at scale these come from a persisted k-means pass). Every corpus vector
-    * is assigned to its single nearest centroid; each query probes the
-    * nProbe nearest cells and ranks only those cells' members.
+  /** Deterministic spherical k-means centroids for IVF cell assignment.
+    *
+    * Init: the nCells training vectors with the smallest xxhash64(vec_id) —
+    * pseudo-random but reproducible, no RNG state. Then `iters` Lloyd
+    * rounds: assign each training vector to its nearest centroid by cosine
+    * (broadcast join, codegen'd cosine), recompute each centroid as the
+    * element-wise mean of its members (empty cells keep their previous
+    * centroid). The training set is capped at `sampleMax` vectors via a
+    * smallest-hash sample (TakeOrdered — per-partition top-k, no full sort),
+    * so fit cost and the O(nCells·dim) driver-side centroid state are
+    * bounded at ANY corpus size; the full corpus is assigned exactly once,
+    * distributed, by the caller.
+    */
+  def kmeansCentroids(
+      vecs: DataFrame,
+      nCells: Int,
+      iters: Int = 3,
+      sampleMax: Int = 65536): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cosN = (a: Column, b: Column) =>
+      expressions.NativeFunctions.cosineNative(spark, a, b)
+    val train = vecs
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleMax)
+      .cache()
+    var cents: Array[(Int, Array[Float])] = train.limit(nCells)
+      .select("embedding").as[Array[Float]].collect()
+      .zipWithIndex.map { case (e, i) => (i, e) }
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(
+        spark.createDataFrame(cents.toSeq).toDF("cid", "ce"))
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+      val assigned = train.join(cdf)
+        .withColumn("ccos", cosN(col("embedding"), col("ce")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    train.unpersist()
+    spark.createDataFrame(cents.toSeq).toDF("cid", "ce")
+  }
+
+  /** IVF: corpus assigned to its nearest [[kmeansCentroids]] cell (one
+    * distributed pass); each query probes the nProbe nearest cells and ranks
+    * only those cells' members.
     */
   def ivfTopK(
       vecs: DataFrame, // (vec_id, embedding)
       queryIds: Column, // predicate over vec_id selecting queries
       k: Int,
       nCells: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      kmeansIters: Int = 3): DataFrame = {
     // Native codegen'd cosine (expressions.CosineSimilarity): the hot loop of
     // the cell assignment runs inside WholeStageCodegen instead of the
     // interpreted zip_with/aggregate path (~2000x per-pair).
     val cosN = (a: Column, b: Column) =>
       expressions.NativeFunctions.cosineNative(vecs.sparkSession, a, b)
-    val cents = broadcast(
-      vecs.orderBy("vec_id").limit(nCells)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val cents = broadcast(kmeansCentroids(vecs, nCells, kmeansIters))
     def nearestCells(df: DataFrame, idC: String, vecC: String, keep: Int) = {
       val w = Window.partitionBy(idC).orderBy(col("ccos").desc, col("cid"))
       df.join(cents)

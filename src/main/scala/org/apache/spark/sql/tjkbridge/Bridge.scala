@@ -23,12 +23,18 @@ object Bridge {
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
-  /** Idempotently add a strategy to the session's extra planner strategies. */
+  /** Idempotently add a strategy to the session's extra planner strategies.
+    * The check-and-set is synchronized on the (session-shared) experimental
+    * methods object: two threads racing the first call would otherwise drop
+    * or double-insert the strategy.
+    */
   def injectStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(strategy)) {
-      cs.experimental.extraStrategies =
-        strategy +: cs.experimental.extraStrategies
+    cs.experimental.synchronized {
+      if (!cs.experimental.extraStrategies.contains(strategy)) {
+        cs.experimental.extraStrategies =
+          strategy +: cs.experimental.extraStrategies
+      }
     }
   }
 }

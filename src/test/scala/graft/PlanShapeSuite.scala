@@ -65,7 +65,7 @@ class PlanShapeSuite extends SparkTestBase {
     // exchange), and the final (conv_id, session_id) groupBy is satisfied by
     // HashPartitioning(conv_id) — NO third exchange. This is the flagship's
     // cost structure at 100 TB.
-    val df = ScaleBench.flagship(turnsDf(Gen.turnsSeq(42L, 4, 20)))
+    val df = ScaleBench.flagship(turnsDf(Gen.turnsSeq(42L, 4, 20)), native = true)
     assert(exchanges(df) == 2, df.queryExecution.executedPlan.toString)
   }
 

@@ -112,7 +112,46 @@ class TextVecSuite extends SparkTestBase {
     assert(s1 == s2, "simhash not partition-invariant")
   }
 
-  test("IVF top-k achieves >= 0.5 recall@5 vs brute force on real embeddings") {
+  /** 400 vectors in 16 planted directional clusters (unit centroid + small
+    * deterministic noise): the k-means fit must recover the clusters, so IVF
+    * probing 2/16 cells still recalls ≥ 0.9 of true neighbors. (The driver's
+    * embeddings table is ISOTROPIC random — measured: top-5 neighbors share
+    * the row's label 8% of the time — so no cell-probing index can reach
+    * high recall on it without probing most cells; that's the curse of
+    * dimensionality, not an implementation property. Hence: planted fixture
+    * for the recall bar, real table for a sanity bound below.)
+    */
+  private lazy val clustered = {
+    val rng = new scala.util.Random(11L)
+    val dim = 64
+    val centers = Array.fill(16)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 16)
+      val v = c.map(x => x + 0.15f * rng.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    spark.createDataset(rows).toDF("vec_id", "embedding")
+  }
+
+  test("IVF top-k achieves >= 0.9 recall@5 on clustered data probing 2/16 cells") {
+    val q = clustered.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val bf = VectorOps.bruteForceTopK(q,
+        clustered.select(col("vec_id").as("vid"), col("embedding").as("ve")), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.ivfTopK(clustered, col("vec_id") < 10, 5,
+        nCells = 16, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF recall@5 = $recall")
+    // determinism: same input → same centroids → same result set
+    val again = VectorOps.ivfTopK(clustered, col("vec_id") < 10, 5,
+        nCells = 16, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == again, "IVF result not deterministic")
+  }
+
+  test("IVF top-k achieves >= 0.5 recall@5 vs brute force on real (isotropic) embeddings") {
     val e = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
