@@ -29,9 +29,69 @@ final class ParquetIO(root: String) extends TableIO {
     new java.io.File(path(name)).exists()
 }
 
+/** Iceberg-flavored test double proving the seam's write/read contract
+  * beyond plain Parquet directories (the real Iceberg runtime jar is not
+  * available offline — SURVEY.md §0.5). It mirrors Iceberg's commit
+  * protocol shape:
+  *
+  *   1. data files are written into a NEW immutable snapshot directory
+  *      (`$root/$name/snap_<v>`) — never in place;
+  *   2. the commit is an atomic metadata-pointer swap (`version-hint.text`
+  *      written to a temp file, then renamed) — readers either see the old
+  *      snapshot or the new one, never a half-written directory;
+  *   3. old snapshots remain readable by id (time travel / the checkpoint
+  *      boundaries O11 resumes from).
+  *
+  * A crash after step 1 but before step 2 leaves an orphan snapshot dir that
+  * readers never observe — the same failure contract as an aborted Iceberg
+  * commit.
+  */
+final class SnapshotIO(root: String) extends TableIO {
+  private def tableDir(name: String) = new java.io.File(root, name)
+  private def hintFile(name: String) =
+    new java.io.File(tableDir(name), "version-hint.text")
+  private def snapDir(name: String, v: Long) =
+    new java.io.File(tableDir(name), s"snap_$v")
+
+  /** Current snapshot id, if any committed. */
+  def currentSnapshot(name: String): Option[Long] = {
+    val f = hintFile(name)
+    if (f.exists()) Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
+    else None
+  }
+
+  /** All committed snapshot ids (orphans from aborted commits excluded). */
+  def snapshots(name: String): Seq[Long] =
+    currentSnapshot(name).map(v => (1L to v)).getOrElse(Seq.empty)
+
+  override def read(spark: SparkSession, name: String): DataFrame =
+    readAt(spark, name, currentSnapshot(name).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $name")))
+
+  /** Time travel: read a specific committed snapshot. */
+  def readAt(spark: SparkSession, name: String, snapshot: Long): DataFrame =
+    spark.read.parquet(snapDir(name, snapshot).getPath)
+
+  override def write(df: DataFrame, name: String): Unit = {
+    val next = currentSnapshot(name).getOrElse(0L) + 1L
+    df.write.mode("errorifexists").parquet(snapDir(name, next).getPath)
+    val tmp = new java.io.File(tableDir(name), s"_hint_tmp_$next")
+    java.nio.file.Files.writeString(tmp.toPath, next.toString)
+    // Atomic pointer swap — the commit point.
+    java.nio.file.Files.move(tmp.toPath, hintFile(name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def exists(spark: SparkSession, name: String): Boolean =
+    currentSnapshot(name).isDefined
+}
+
 object TableIO {
   /** In production this would consult config and return an Iceberg-backed
-    * TableIO (`spark.read.format("iceberg")` / `writeTo(...).append()`).
+    * TableIO (`spark.read.format("iceberg")` / `writeTo(...).append()`);
+    * [[SnapshotIO]] is the in-sandbox stand-in that preserves the snapshot
+    * commit contract the resume path (O11) relies on.
     */
   def forRoot(root: String): TableIO = new ParquetIO(root)
 }
