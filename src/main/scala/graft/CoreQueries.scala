@@ -597,7 +597,11 @@ object CoreQueries {
   def lineageResume(spark: SparkSession, dir: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("tjk_q33_lineage")
       .toFile.getAbsolutePath
+    // Each of the 2×8 bucket jobs filters the SAME transcript view (itself a
+    // window over events): materialize it once instead of recomputing the
+    // window per bucket. Spill-safe, unpersisted before returning.
     val input = t(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // md5-derived bucket (last hex char mod 8) — DuckDB-replicable, unlike
     // the xxhash64 default.
     val bucketOf = pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8))
@@ -611,6 +615,7 @@ object CoreQueries {
       r1.map(r => (r.bucket, r.rowCount, r.contentHash)) ==
         r2.map(r => (r.bucket, r.rowCount, r.contentHash)),
       "resumed manifests diverged from the originals")
+    input.unpersist()
     import spark.implicits._
     r1.map(r => (r.bucket, r.rowCount)).toDF("bucket", "row_count")
       .orderBy("bucket")

@@ -44,6 +44,10 @@ object Profile {
     time("q22 again (warm)")(TextVecQueries.dedupEmbed(spark, sfDir).count())
     time("q20 simhash sig")(TextOps.simhash(docs).count())
     time("q20 full")(TextVecQueries.simhashPairs(spark, sfDir).count())
+    time("q18 full")(TextVecQueries.ngramJaccard(spark, sfDir).count())
+    time("q18 again (warm)")(TextVecQueries.ngramJaccard(spark, sfDir).count())
+    time("q33 full")(CoreQueries.lineageResume(spark, sfDir).count())
+    time("q33 again (warm)")(CoreQueries.lineageResume(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -132,44 +132,71 @@ object TextOps {
         s"array_distinct(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k))))"
       )).as("g"))
 
-  /** Candidate pairs sharing ≥1 NON-HOT shingle (df ≤ maxShingleDf).
-    * Package-visible so the hot-shingle bound is directly testable.
+  /** Shingles whose document frequency exceeds the cap — the quadratic
+    * hot-block set. Tiny by construction (AQE broadcasts it).
     */
-  private[graft] def ngramCandidates(
-      sh: DataFrame, maxShingleDf: Int): DataFrame = {
-    val hot = sh.groupBy("g").agg(count(lit(1)).as("df"))
+  private def hotShingles(sh: DataFrame, maxShingleDf: Int): DataFrame =
+    sh.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf).select("g")
-    // The hot set is tiny by construction (few shingles exceed the cap);
-    // AQE turns this anti-join into a broadcast.
-    val rare = sh.join(hot, Seq("g"), "left_anti")
+
+  /** (id_a, id_b, inter_rare): candidate pairs sharing ≥1 NON-HOT shingle,
+    * with the count of shared non-hot shingles — produced directly by the
+    * rare-shingle self-join's group-by, so candidate generation and the
+    * rare part of the intersection cost ONE aggregation.
+    */
+  private def rarePairCounts(sh: DataFrame, maxShingleDf: Int): DataFrame = {
+    val rare = sh.join(hotShingles(sh, maxShingleDf), Seq("g"), "left_anti")
     rare.select(col("doc_id").as("id_a"), col("g"))
       .join(rare.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_rare"))
   }
+
+  /** Candidate pairs sharing ≥1 non-hot shingle (df ≤ maxShingleDf).
+    * Package-visible so the hot-shingle bound is directly testable.
+    */
+  private[graft] def ngramCandidates(
+      sh: DataFrame, maxShingleDf: Int): DataFrame =
+    rarePairCounts(sh, maxShingleDf).select("id_a", "id_b")
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ threshold) over candidates
     * sharing at least one non-hot shingle. The [[HotShingleDf]] cap applies
-    * to candidate generation ONLY; survivors are verified with exact Jaccard
-    * over their FULL shingle sets (hot shingles included), so emitted values
-    * are the true Jaccard. A pair whose EVERY shared shingle is hot is
-    * missed — at threshold 0.8 a true pair shares ≥ 80% of its shingle
-    * union, so any realistic cap loses nothing (planted-hot-shingle property
-    * pinned in TextVecSuite; the DuckDB oracle replicates the cap).
+    * to candidate GENERATION only; the emitted Jaccard is exact over the
+    * FULL shingle sets, decomposed as |A∩B| = rare-part + hot-part:
+    *
+    *  - rare-part falls out of the candidate self-join's group-by (free);
+    *  - hot-part re-joins candidates against only the (doc, HOT shingle)
+    *    rows — a set linear in Σ df(hot), never the C(df,2) pair blow-up,
+    *    and empty on any corpus without hot shingles.
+    *
+    * A pair whose EVERY shared shingle is hot is missed — at threshold 0.8
+    * a true pair shares ≥ 80% of its shingle union, so any realistic cap
+    * loses nothing (planted-hot-shingle property pinned in TextVecSuite;
+    * the DuckDB oracle replicates the same capped-candidates + exact-verify
+    * semantics).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshold: Double,
       k: Int = Shingle,
       maxShingleDf: Int = HotShingleDf): DataFrame = {
+    // The shingle fan-out feeds several consumers (df-cap, candidate self-
+    // join, hot-part verify, per-doc counts); persist it once (spilling to
+    // disk at scale) instead of re-running the split+explode scan per
+    // consumer — the same branch-point discipline as minhashLshPairs.
     val sh = shingles(docs, k)
-    val cand = ngramCandidates(sh, maxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val interRare = rarePairCounts(sh, maxShingleDf)
+    val hotSh = sh.join(hotShingles(sh, maxShingleDf), Seq("g"))
+    val interHot = interRare.select("id_a", "id_b")
+      .join(hotSh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+      .join(hotSh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_hot"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
+    interRare
+      .join(interHot, Seq("id_a", "id_b"), "left")
+      .withColumn("inter",
+        col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
       .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(cnt.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
