@@ -82,6 +82,20 @@ class PlanShapeSuite extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"range join degraded to a nested loop:\n$plan")
+    // and the per-session aggregate reuses the sessionize window's
+    // conv_id partitioning — no exchange between Window and HashAggregate
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("chunked rolling costs exactly ONE shuffle — on (entity, chunk)") {
+    val df = Skew.chunkedRollingAgg(turns, "conv_id", "ts",
+      Seq(RollingSpec("value", Agg.Sum, Duration.ofHours(1))),
+      chunkSpanMicros = 24L * 3600 * 1000000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(exchanges(df) == 1, plan)
+    val exch = "Exchange hashpartitioning\\([^)]*".r.findFirstIn(plan).getOrElse("")
+    assert(exch.contains("conv_id") && exch.contains("__chunk"),
+      s"chunk shuffle key wrong: $exch")
   }
 
   test("parquet scan prunes columns (fat text column never read when unused)") {
