@@ -74,8 +74,9 @@ object SparkEntry {
     "q17_dedup_exact"    -> TextVecQueries.dedupExactSql,
     "q18_ngram_jaccard"  -> TextVecQueries.ngramJaccardSql,
     "q19_minhash_lsh"    -> TextVecQueries.minhashLshSql,
-    // q20_simhash / q23_ann_ivf / q24_media: xxhash64 / approximate /
-    // stub-decode — not DuckDB-expressible → rows-only checks by design.
+    "q20_simhash"        -> TextVecQueries.simhashPairsSql,
+    // q23_ann_ivf / q24_media: approximate / stub-decode — not
+    // DuckDB-expressible → rows-only checks by design.
     "q21_ann_cosine"     -> TextVecQueries.annCosineSql,
     "q22_dedup_embed"    -> TextVecQueries.dedupEmbedSql,
     "q25_asof_native"    -> CoreQueries.asofBackwardSql,

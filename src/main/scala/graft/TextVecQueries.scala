@@ -119,10 +119,38 @@ object TextVecQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** xxhash64-based → no DuckDB oracle (rows-only); pinned by TextVecSuite. */
+  /** SimHash near-dup pairs through the md5-hex token hash, so the DuckDB
+    * oracle can replicate the full pipeline (token hash bits → sign sums →
+    * 64-bit signature → 16-bit bands → hamming verify) bit-for-bit; the
+    * xxhash64 production path is pinned against this one in TextVecSuite.
+    */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    TextOps.simhashPairs(docs(spark, dir), maxHamming = 6)
+    TextOps.simhashPairs(docs(spark, dir), maxHamming = 6,
+        hash = TextOps.TokenHash.Md5Hex)
       .orderBy("id_a", "id_b")
+
+  val simhashPairsSql: String =
+    """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, substring(md5(w), 1, 16) AS hx FROM tok),
+      |pb AS (SELECT doc_id, i.x AS i,
+      |  sum(CASE WHEN ((strpos('0123456789abcdef', substring(hx, 16 - i.x // 4, 1)) - 1)
+      |            >> (i.x % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS b
+      |  FROM h, UNNEST(generate_series(0, 63)) AS i(x)
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN b > 0 THEN
+      |    (CASE WHEN i = 63 THEN -9223372036854775808
+      |          ELSE (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) END)
+      |    ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM pb GROUP BY 1),
+      |bands AS (SELECT doc_id, simhash, b.x AS band, (simhash >> (b.x * 16)) & 65535 AS h
+      |          FROM sig, UNNEST(generate_series(0, 3)) AS b(x)),
+      |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |            bit_count(xor(x.simhash, y.simhash)) AS hamming
+      |          FROM bands x JOIN bands y
+      |            ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
+      |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      |FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------ similarity search
 

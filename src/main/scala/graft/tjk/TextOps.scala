@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *    fraction. md5 (not xxhash64) so the DuckDB oracle can replicate
   *    bit-for-bit; at production scale swap HASH_FN to xxhash64 for speed —
   *    semantics identical.
-  *  - SimHash: 64-bit sign-aggregated xxhash64 over tokens; near-dups =
-  *    pairs sharing a 16-bit band with Hamming distance ≤ k.
+  *  - SimHash: 64-bit sign-aggregated token hash; near-dups = pairs sharing
+  *    a 16-bit band with Hamming distance ≤ k. Token hash is pluggable:
+  *    xxhash64 (production fast path) or md5-hex (DuckDB-replicable oracle
+  *    path — same swap convention as MinHash).
   */
 object TextOps {
 
@@ -269,19 +271,44 @@ object TextOps {
 
   // ------------------------------------------------------------ SimHash
 
-  /** 64-bit SimHash over word tokens (xxhash64 — fast path, no SQL oracle;
-    * correctness pinned by the planted-duplicate unit test).
+  /** Token-hash source for SimHash: xxhash64 is the production fast path
+    * (one codegen'd 64-bit hash per token); Md5Hex derives the 64 bits from
+    * the first 16 hex chars of md5(token) — slower, but exactly replicable
+    * by the DuckDB oracle (same convention as MinHash's md5: swap to
+    * xxhash64 at production scale, semantics identical).
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  sealed trait TokenHash
+  object TokenHash {
+    case object Xx64 extends TokenHash
+    case object Md5Hex extends TokenHash
+  }
+
+  /** 64-bit SimHash over word tokens. */
+  def simhash(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      hash: TokenHash = TokenHash.Xx64): DataFrame = {
     // Narrow plan (same values as 64 per-bit agg columns, which codegen'd
     // into a pathologically large class — see minhashSignatures note):
     // one row per (doc, bit) through the aggregation, then fold the 64
     // per-bit signs back into the long.
-    withTokens(spread(docs)).select(col(idCol), explode(col("ws")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-      .select(col(idCol), col("h"), explode(expr("sequence(0, 63)")).as("i"))
+    val tokens = withTokens(spread(docs)).select(col(idCol), explode(col("ws")).as("w"))
+    val perBit = hash match {
+      case TokenHash.Xx64 =>
+        tokens.withColumn("h", xxhash64(col("w")))
+          .select(col(idCol), col("h"), explode(expr("sequence(0, 63)")).as("i"))
+          .withColumn("bit", expr("(h >> i) & 1"))
+      case TokenHash.Md5Hex =>
+        // bit i of the 64-bit value spelled by md5's FIRST 16 hex chars:
+        // hex digit at 1-based position 16 - i/4, bit (i % 4) of the digit.
+        tokens.withColumn("hx", substring(md5(col("w")), 1, 16))
+          .select(col(idCol), col("hx"), explode(expr("sequence(0, 63)")).as("i"))
+          .withColumn("bit", expr(
+            "(CAST(conv(substring(hx, 16 - (i div 4), 1), 16, 10) AS INT) >> (i % 4)) & 1"))
+    }
+    perBit
       .groupBy(idCol, "i")
-      .agg(sum(when(expr("(h >> i) & 1") === 1L, 1L).otherwise(-1L)).as("b"))
+      .agg(sum(when(col("bit") === 1L, 1L).otherwise(-1L)).as("b"))
       .groupBy(idCol)
       // bits are disjoint powers of two — sum == bitwise-or
       .agg(sum(when(col("b") > 0L,
@@ -290,8 +317,11 @@ object TextOps {
   }
 
   /** SimHash near-dup pairs: share one of four 16-bit bands AND Hamming ≤ maxHamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs).cache()
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int,
+      hash: TokenHash = TokenHash.Xx64): DataFrame = {
+    val sh = simhash(docs, hash = hash).cache()
     val bands = sh.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         expr(s"(simhash >> ${b * 16}) & 65535").as("h"))): _*)).as("bh"))

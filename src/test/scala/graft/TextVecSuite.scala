@@ -100,16 +100,20 @@ class TextVecSuite extends SparkTestBase {
     }
   }
 
-  test("simhash: planted near-dups within hamming 6; signature is deterministic") {
-    val pairs = TextOps.simhashPairs(planted, maxHamming = 6).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    (0 until 4).foreach { i =>
-      assert(pairs.contains((i.toLong, i + 2000L)), s"exact copy pair $i missing (hamming 0)")
+  test("simhash (both token hashes): planted dups found; signature deterministic") {
+    for (h <- Seq(TextOps.TokenHash.Xx64, TextOps.TokenHash.Md5Hex)) {
+      val pairs = TextOps.simhashPairs(planted, maxHamming = 6, hash = h).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until 4).foreach { i =>
+        assert(pairs.contains((i.toLong, i + 2000L)),
+          s"exact copy pair $i missing (hamming 0) under $h")
+      }
+      val s1 = TextOps.simhash(planted, hash = h).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s2 = TextOps.simhash(planted.repartition(7), hash = h).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(s1 == s2, s"simhash not partition-invariant under $h")
     }
-    val s1 = TextOps.simhash(planted).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val s2 = TextOps.simhash(planted.repartition(7)).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(s1 == s2, "simhash not partition-invariant")
   }
 
   /** 400 vectors in 16 planted directional clusters (unit centroid + small
