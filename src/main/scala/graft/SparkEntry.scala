@@ -50,6 +50,7 @@ object SparkEntry {
     "q32_setops"         -> (CoreQueries.setOps _),
     "q33_lineage_resume" -> (CoreQueries.lineageResume _),
     "q34_rollup"         -> (CoreQueries.rollupAgg _),
+    "q35_media_stats"    -> (TextVecQueries.mediaStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,5 +92,6 @@ object SparkEntry {
     "q32_setops"         -> CoreQueries.setOpsSql,
     "q33_lineage_resume" -> CoreQueries.lineageResumeSql,
     "q34_rollup"         -> CoreQueries.rollupAggSql,
+    "q35_media_stats"    -> TextVecQueries.mediaStatsSql,
   )
 }

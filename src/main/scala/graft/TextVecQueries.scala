@@ -249,4 +249,28 @@ object TextVecQueries {
         round(col("mean_byte"), 6).as("mean_byte"),
         size(col("frame_hashes")).as("n_frames"))
       .orderBy("doc_id")
+
+  /** The SQL-expressible slice of the media feature pipeline (byte count,
+    * header hex, byte-mean) — runs the SAME batched mapPartitions extractor
+    * as q24 but restricts output to columns DuckDB can recompute from the
+    * synthetic blobs (UTF-8 text bytes; the corpus is ASCII so byte stats
+    * equal char stats on the oracle side), giving the multimodal plumbing a
+    * bit-exact driver entry. q24 keeps the full output including the
+    * xxhash64-derived frame sampling (rows-only by design).
+    */
+  def mediaStats(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.extractFeatures(MediaOps.syntheticMedia(docs(spark, dir)))
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("header_hex"),
+        round(col("mean_byte"), 6).as("mean_byte"))
+      .orderBy("doc_id")
+
+  val mediaStatsSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+      |  coalesce(round(list_aggregate(
+      |    list_transform(string_split_regex(text, ''), c -> ascii(c)),
+      |    'avg'), 6), 0.0) AS mean_byte
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
