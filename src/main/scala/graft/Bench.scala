@@ -12,18 +12,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // A broken query must not look like a fast query: failures are loud on
-      // stderr (the JSON line contract on stdout stays unchanged).
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          -1L
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A broken query must not look like a fast query: it reports -1.0 in
+      // the machine-readable JSON (and prints loudly on stderr) instead of
+      // its small elapsed time; failed queries contribute 0 to the total.
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

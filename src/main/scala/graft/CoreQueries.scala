@@ -607,25 +607,43 @@ object CoreQueries {
     val bucketOf = pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8))
     val job = (d: DataFrame) => d.groupBy("conv_id")
       .agg(count(lit(1)).as("n_turns"), round(sum(col("value")), 4).as("sum_value"))
-    val r1 = Resume.runBucketed(spark, input, "conv_id", outDir, 8, Some(bucketOf))(job)
-    val r2 = Resume.runBucketed(spark, input, "conv_id", outDir, 8, Some(bucketOf))(job)
-    require(r1.forall(!_.skipped), "first run must compute every bucket")
-    require(r2.forall(_.skipped), "second run must resume-skip every bucket")
-    require(
-      r1.map(r => (r.bucket, r.rowCount, r.contentHash)) ==
-        r2.map(r => (r.bucket, r.rowCount, r.contentHash)),
-      "resumed manifests diverged from the originals")
-    input.unpersist()
+    val r1 =
+      try {
+        val first = Resume.runBucketed(spark, input, "conv_id", outDir, 8, Some(bucketOf))(job)
+        val second = Resume.runBucketed(spark, input, "conv_id", outDir, 8, Some(bucketOf))(job)
+        require(first.forall(!_.skipped), "first run must compute every bucket")
+        require(second.forall(_.skipped), "second run must resume-skip every bucket")
+        require(
+          first.map(r => (r.bucket, r.rowCount, r.contentHash)) ==
+            second.map(r => (r.bucket, r.rowCount, r.contentHash)),
+          "resumed manifests diverged from the originals")
+        first
+      } finally {
+        input.unpersist()
+        // scratch demonstration output — reclaim it (Verify/Bench/Profile
+        // would otherwise each leave an 8-bucket dump under /tmp per call)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(outDir))
+      }
     import spark.implicits._
     r1.map(r => (r.bucket, r.rowCount)).toDF("bucket", "row_count")
       .orderBy("bucket")
   }
 
+  /** LEFT JOIN against the full bucket domain: runBucketed emits a manifest
+    * row (count 0) for a bucket no conv_id hashes into, so the oracle must
+    * too — count(DISTINCT NULL) = 0 on the unmatched side.
+    */
   val lineageResumeSql: String =
     s"""WITH ${Tables.transcriptsSqlCte}
-       |SELECT CAST(ascii(substring(md5(conv_id), 32, 1)) % 8 AS INTEGER) AS bucket,
-       |       count(DISTINCT conv_id) AS row_count
-       |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+       |SELECT CAST(b.x AS INTEGER) AS bucket,
+       |       count(DISTINCT t.conv_id) AS row_count
+       |FROM UNNEST(generate_series(0, 7)) AS b(x)
+       |LEFT JOIN t ON ascii(substring(md5(t.conv_id), 32, 1)) % 8 = b.x
+       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ------------------------------------------------- joins / ranking / JSON parity
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+
 
 /** Dev-only: dump a SUBSET of SparkEntry.queries (plus their oracle SQL) so
   * single queries can be cross-checked against DuckDB while iterating,
@@ -28,18 +28,8 @@ object DevCheck {
         .write.mode("overwrite").parquet(s"$outDir/$name")
       System.err.println(f"[devcheck] $name dumped in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    OracleDump.writeOracleJson(s"$outDir/oracle_sql.json",
+      SparkEntry.oracleSql.filter(kv => names.contains(kv._1)))
     spark.stop()
   }
 }

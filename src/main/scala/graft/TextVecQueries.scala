@@ -258,12 +258,22 @@ object TextVecQueries {
     * bit-exact driver entry. q24 keeps the full output including the
     * xxhash64-derived frame sampling (rows-only by design).
     */
-  def mediaStats(spark: SparkSession, dir: String): DataFrame =
-    MediaOps.extractFeatures(MediaOps.syntheticMedia(docs(spark, dir)))
+  def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // The byte-stats == char-stats equivalence the oracle relies on holds
+    // only for ASCII text — fail LOUDLY if the corpus ever stops being
+    // ASCII instead of silently drifting from the oracle. limit(1) keeps
+    // the guard scan cheap.
+    val nonAscii = d
+      .where(length(col("text")) =!= octet_length(col("text"))).limit(1).count()
+    require(nonAscii == 0,
+      "q35_media_stats oracle requires an ASCII corpus (byte stats == char stats)")
+    MediaOps.extractFeatures(MediaOps.syntheticMedia(d))
       .toDF()
       .select(col("doc_id"), col("n_bytes"), col("header_hex"),
         round(col("mean_byte"), 6).as("mean_byte"))
       .orderBy("doc_id")
+  }
 
   val mediaStatsSql: String =
     """SELECT doc_id,

@@ -53,30 +53,45 @@ final class SnapshotIO(root: String) extends TableIO {
   private def snapDir(name: String, v: Long) =
     new java.io.File(tableDir(name), s"snap_$v")
 
-  /** Current snapshot id, if any committed. */
-  def currentSnapshot(name: String): Option[Long] = {
+  /** All committed snapshot ids, oldest first — the hint file is the commit
+    * log (one id per line, atomically replaced as a whole); snapshot dirs on
+    * disk but absent from it are orphans of aborted commits and are never
+    * visible through any read path.
+    */
+  def snapshots(name: String): Seq[Long] = {
     val f = hintFile(name)
-    if (f.exists()) Some(java.nio.file.Files.readString(f.toPath).trim.toLong)
-    else None
+    if (!f.exists()) Seq.empty
+    else java.nio.file.Files.readString(f.toPath).split("\n")
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
   }
 
-  /** All committed snapshot ids (orphans from aborted commits excluded). */
-  def snapshots(name: String): Seq[Long] =
-    currentSnapshot(name).map(v => (1L to v)).getOrElse(Seq.empty)
+  /** Current snapshot id, if any committed. */
+  def currentSnapshot(name: String): Option[Long] = snapshots(name).lastOption
 
   override def read(spark: SparkSession, name: String): DataFrame =
     readAt(spark, name, currentSnapshot(name).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $name")))
 
-  /** Time travel: read a specific committed snapshot. */
-  def readAt(spark: SparkSession, name: String, snapshot: Long): DataFrame =
+  /** Time travel: read a specific COMMITTED snapshot. */
+  def readAt(spark: SparkSession, name: String, snapshot: Long): DataFrame = {
+    require(snapshots(name).contains(snapshot),
+      s"snapshot $snapshot of $name was never committed")
     spark.read.parquet(snapDir(name, snapshot).getPath)
+  }
 
   override def write(df: DataFrame, name: String): Unit = {
-    val next = currentSnapshot(name).getOrElse(0L) + 1L
+    // Allocate PAST any orphan directories an aborted commit left behind
+    // (Iceberg likewise retries with a fresh snapshot id): next = 1 + the
+    // max of the committed pointer and every snap_* dir on disk. Orphans
+    // stay unreferenced and invisible; they never block a later commit.
+    val onDisk = Option(tableDir(name).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^snap_(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+    val committed = snapshots(name)
+    val next = ((0L +: committed) ++ onDisk).max + 1L
     df.write.mode("errorifexists").parquet(snapDir(name, next).getPath)
     val tmp = new java.io.File(tableDir(name), s"_hint_tmp_$next")
-    java.nio.file.Files.writeString(tmp.toPath, next.toString)
+    java.nio.file.Files.writeString(tmp.toPath,
+      (committed :+ next).mkString("\n"))
     // Atomic pointer swap — the commit point.
     java.nio.file.Files.move(tmp.toPath, hintFile(name).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

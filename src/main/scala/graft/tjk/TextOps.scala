@@ -52,9 +52,16 @@ object TextOps {
     * anything that already splits well) pass through untouched — no shuffle.
     */
   private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // Threshold = cores × maxPartitionBytes: below it, the file scan yields
+    // FEWER splits than cores (Spark packs ≤ maxPartitionBytes per split),
+    // so the fan-out stage would underuse the cluster without this
+    // repartition; at or above it, the scan already splits ≥ p ways and the
+    // input passes through untouched.
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(p.toLong) * 32L * 1024 * 1024
+      BigInt(p.toLong) * maxSplit
     if (small) df.repartition(p) else df
   }
 
@@ -141,13 +148,14 @@ object TextOps {
     sh.groupBy("g").agg(count(lit(1)).as("df"))
       .where(col("df") > maxShingleDf).select("g")
 
-  /** (id_a, id_b, inter_rare): candidate pairs sharing ≥1 NON-HOT shingle,
-    * with the count of shared non-hot shingles — produced directly by the
-    * rare-shingle self-join's group-by, so candidate generation and the
-    * rare part of the intersection cost ONE aggregation.
+  /** (id_a, id_b, inter_rare): candidate pairs sharing ≥1 NON-HOT shingle
+    * (`hot` = precomputed [[hotShingles]] set), with the count of shared
+    * non-hot shingles — produced directly by the rare-shingle self-join's
+    * group-by, so candidate generation and the rare part of the
+    * intersection cost ONE aggregation.
     */
-  private def rarePairCounts(sh: DataFrame, maxShingleDf: Int): DataFrame = {
-    val rare = sh.join(hotShingles(sh, maxShingleDf), Seq("g"), "left_anti")
+  private def rarePairCounts(sh: DataFrame, hot: DataFrame): DataFrame = {
+    val rare = sh.join(hot, Seq("g"), "left_anti")
     rare.select(col("doc_id").as("id_a"), col("g"))
       .join(rare.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
       .where(col("id_a") < col("id_b"))
@@ -159,7 +167,7 @@ object TextOps {
     */
   private[graft] def ngramCandidates(
       sh: DataFrame, maxShingleDf: Int): DataFrame =
-    rarePairCounts(sh, maxShingleDf).select("id_a", "id_b")
+    rarePairCounts(sh, hotShingles(sh, maxShingleDf)).select("id_a", "id_b")
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ threshold) over candidates
     * sharing at least one non-hot shingle. The [[HotShingleDf]] cap applies
@@ -185,11 +193,15 @@ object TextOps {
     // The shingle fan-out feeds several consumers (df-cap, candidate self-
     // join, hot-part verify, per-doc counts); persist it once (spilling to
     // disk at scale) instead of re-running the split+explode scan per
-    // consumer — the same branch-point discipline as minhashLshPairs.
+    // consumer — the same branch-point discipline as minhashLshPairs. The
+    // blocks stay LRU-evictable (MEMORY_AND_DISK storage is reclaimed under
+    // executor memory pressure); a caller wanting eager release can
+    // `.unpersist()` after consuming the result.
     val sh = shingles(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val interRare = rarePairCounts(sh, maxShingleDf)
-    val hotSh = sh.join(hotShingles(sh, maxShingleDf), Seq("g"))
+    val hot = hotShingles(sh, maxShingleDf)
+    val interRare = rarePairCounts(sh, hot)
+    val hotSh = sh.join(hot, Seq("g"))
     val interHot = interRare.select("id_a", "id_b")
       .join(hotSh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
       .join(hotSh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))

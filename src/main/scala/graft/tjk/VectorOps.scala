@@ -288,13 +288,25 @@ object VectorOps {
         .withColumn("ccos", cosN(col("embedding"), col("ce")))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
+      // Mean via QUANTIZED integer sums, not avg(double): double addition is
+      // non-associative and shuffle-fetch arrival order is nondeterministic,
+      // so avg() would make the "deterministic centroids" contract false at
+      // the last ulp (enough to flip a near-equidistant assignment across
+      // runs). Long sums are associative ⇒ bit-identical on every run/layout;
+      // 2^-20 quantization (~1e-6) is far below any meaningful centroid
+      // resolution. |v| ≲ 6 ⇒ per-row ≤ 2^23, ×sampleMax ≪ 2^63 (no ANSI
+      // overflow).
+      val Q = 1048576L // 2^20
       val means = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cid", "pos").agg(
+          sum(round(col("v") * Q).cast("long")).as("qs"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+          cid -> rows.sortBy(_.getInt(1))
+            .map(r => (r.getLong(2).toDouble / r.getLong(3) / Q).toFloat)
         }
       cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }

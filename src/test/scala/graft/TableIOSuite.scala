@@ -61,7 +61,7 @@ class TableIOSuite extends SparkTestBase {
     assert(fromJson == fromParquet)
   }
 
-  test("SnapshotIO: an aborted commit (data written, pointer not swapped) is invisible") {
+  test("SnapshotIO: an aborted commit is invisible and never blocks later commits") {
     val root = tmp()
     val io = new SnapshotIO(root)
     io.write(rows(3), "t")
@@ -69,8 +69,12 @@ class TableIOSuite extends SparkTestBase {
     rows(9).write.parquet(s"$root/t/snap_2")
     assert(io.currentSnapshot("t").contains(1L), "orphan snapshot became visible")
     assert(io.read(spark, "t").count() == 3)
-    // the next successful commit fails loudly rather than silently adopting
-    // the orphan's directory (errorifexists on the data write)
-    intercept[Exception] { io.write(rows(4), "t") }
+    // the next commit allocates PAST the orphan (Iceberg-style retry with a
+    // fresh id) — it succeeds, the orphan stays unreferenced forever
+    io.write(rows(4), "t")
+    assert(io.currentSnapshot("t").contains(3L))
+    assert(io.snapshots("t") == Seq(1L, 3L))
+    assert(io.read(spark, "t").count() == 4)
+    intercept[IllegalArgumentException] { io.readAt(spark, "t", 2L) }
   }
 }
