@@ -48,6 +48,10 @@ object Profile {
     time("q18 again (warm)")(TextVecQueries.ngramJaccard(spark, sfDir).count())
     time("q33 full")(CoreQueries.lineageResume(spark, sfDir).count())
     time("q33 again (warm)")(CoreQueries.lineageResume(spark, sfDir).count())
+    time("q21 full")(TextVecQueries.annCosine(spark, sfDir).count())
+    time("q21 again (warm)")(TextVecQueries.annCosine(spark, sfDir).count())
+    time("q23 full")(TextVecQueries.annIvf(spark, sfDir).count())
+    time("q23 again (warm)")(TextVecQueries.annIvf(spark, sfDir).count())
     spark.stop()
   }
 }

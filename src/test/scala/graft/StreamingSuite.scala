@@ -40,6 +40,42 @@ class StreamingSuite extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("streaming rolling features (flatMapGroupsWithState) == batch window rolling") {
+    implicit val sc = spark.sqlContext
+    val turns = Gen.turnsSeq(43L, 5, 30).sortBy(_.ts.getTime)
+    val withValue = (t: Turn) => Streaming.RollingEvent(
+      t.conv_id, t.turn_idx, t.ts, t.text.length.toDouble)
+    val stream = MemoryStream[Streaming.RollingEvent]
+    val q = Streaming.rollingStream(stream.toDF(),
+        windowMicros = 3600L * 1000000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("roll_stream")
+      .outputMode("append").start()
+    // three in-event-time-order increments: state must carry across batches
+    val evs = turns.map(withValue)
+    val (a, rest) = evs.splitAt(evs.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    stream.addData(a); q.processAllAvailable()
+    stream.addData(b); q.processAllAvailable()
+    stream.addData(c); q.processAllAvailable()
+    val streamed = spark.table("roll_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    q.stop()
+    val batch = Rolling.rollingAgg(
+        turnsDf(turns), "conv_id", "ts",
+        Seq(RollingSpec("value", Agg.Count, java.time.Duration.ofHours(1)),
+          RollingSpec("value", Agg.Sum, java.time.Duration.ofHours(1))))
+      .select("conv_id", "turn_idx", "count_value_3600s", "sum_value_3600s")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    batch.foreach { case (k, (bc, bs)) =>
+      val (sc2, ss) = streamed(k)
+      assert(sc2 == bc, s"count mismatch at $k")
+      assert(NaiveOracle.allclose(Some(ss), Some(bs)), s"sum mismatch at $k: $ss vs $bs")
+    }
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sc = spark.sqlContext
     val t0 = new Timestamp(1767225600000L)
