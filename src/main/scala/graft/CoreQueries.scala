@@ -647,6 +647,88 @@ object CoreQueries {
 
   // ------------------------------------------------- joins / ranking / JSON parity
 
+  /** TPC-H Q1-flavor pricing summary over lineitem (the fact table no other
+    * query touches) — the canonical partial+final hash-agg parity check,
+    * with the repo's cross-engine rounding conventions.
+    */
+  def lineitemPricing(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.read(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 0).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 0).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+          .as("sum_disc_price"),
+        round(round(sum(col("l_discount")), 4) /
+          nullif(count(lit(1)), lit(0L)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val lineitemPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 0) AS sum_qty,
+      |  round(sum(l_extendedprice), 0) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+      |  round(round(sum(l_discount), 4) / nullif(count(*), 0), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Fact × two broadcast dimensions (part via lineitem, supplier → nation):
+    * exercises the remaining untouched tables with the standard
+    * broadcast-dim join shape.
+    */
+  def partSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.read(spark, dir, "lineitem")
+    val p = Tables.read(spark, dir, "part")
+    val s = Tables.read(spark, dir, "supplier")
+    val n = Tables.read(spark, dir, "nation")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy("p_brand", "n_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
+          .as("revenue"))
+      .orderBy("p_brand", "n_name")
+  }
+
+  val partSupplierRevenueSql: String =
+    """SELECT p_brand, n_name, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY p_brand, n_name ORDER BY p_brand, n_name""".stripMargin
+
+  /** supplier → nation → region rollout: the last untouched dimension chain
+    * (region), counted per region.
+    */
+  def supplierByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.read(spark, dir, "supplier")
+    val n = Tables.read(spark, dir, "nation")
+    val r = Tables.read(spark, dir, "region")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 4).as("sum_acctbal"))
+      .orderBy("r_name")
+  }
+
+  val supplierByRegionSql: String =
+    """SELECT r_name, count(*) AS n_suppliers,
+      |  round(sum(s_acctbal), 4) AS sum_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   def jsonAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "events")
       .select(col("event_type"),

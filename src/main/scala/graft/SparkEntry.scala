@@ -51,6 +51,9 @@ object SparkEntry {
     "q33_lineage_resume" -> (CoreQueries.lineageResume _),
     "q34_rollup"         -> (CoreQueries.rollupAgg _),
     "q35_media_stats"    -> (TextVecQueries.mediaStats _),
+    "q36_lineitem_agg"   -> (CoreQueries.lineitemPricing _),
+    "q37_part_supp_rev"  -> (CoreQueries.partSupplierRevenue _),
+    "q38_supp_by_region" -> (CoreQueries.supplierByRegion _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,5 +96,8 @@ object SparkEntry {
     "q33_lineage_resume" -> CoreQueries.lineageResumeSql,
     "q34_rollup"         -> CoreQueries.rollupAggSql,
     "q35_media_stats"    -> TextVecQueries.mediaStatsSql,
+    "q36_lineitem_agg"   -> CoreQueries.lineitemPricingSql,
+    "q37_part_supp_rev"  -> CoreQueries.partSupplierRevenueSql,
+    "q38_supp_by_region" -> CoreQueries.supplierByRegionSql,
   )
 }
