@@ -26,7 +26,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // A run with ANY failed query must not produce a smaller (faster-looking)
+    // total than a healthy run: the headline metric itself goes sentinel.
+    val total =
+      if (results.values.exists(_ < 0)) -1.0 else results.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

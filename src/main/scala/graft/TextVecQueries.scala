@@ -258,16 +258,20 @@ object TextVecQueries {
     * bit-exact driver entry. q24 keeps the full output including the
     * xxhash64-derived frame sampling (rows-only by design).
     */
+  /** The byte-stats == char-stats equivalence the q35 oracle relies on holds
+    * only for ASCII text — fail LOUDLY (per-row raise_error riding the scan
+    * the query already does; no extra pass, cannot be pruned because it
+    * guards the projected text column itself) if the corpus ever stops
+    * being ASCII instead of silently drifting from the oracle.
+    */
+  private[graft] def asciiGuarded(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      when(length(col("text")) === octet_length(col("text")), col("text"))
+        .otherwise(raise_error(lit(
+          "q35_media_stats oracle requires an ASCII corpus (byte stats == char stats)"))))
+
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    // The byte-stats == char-stats equivalence the oracle relies on holds
-    // only for ASCII text — fail LOUDLY if the corpus ever stops being
-    // ASCII instead of silently drifting from the oracle. limit(1) keeps
-    // the guard scan cheap.
-    val nonAscii = d
-      .where(length(col("text")) =!= octet_length(col("text"))).limit(1).count()
-    require(nonAscii == 0,
-      "q35_media_stats oracle requires an ASCII corpus (byte stats == char stats)")
+    val d = asciiGuarded(docs(spark, dir))
     MediaOps.extractFeatures(MediaOps.syntheticMedia(d))
       .toDF()
       .select(col("doc_id"), col("n_bytes"), col("header_hex"),

@@ -47,22 +47,37 @@ object Streaming {
       ts: java.sql.Timestamp, value: Double)
   case class RollingFeature(conv_id: String, turn_idx: Int,
       ts: java.sql.Timestamp, count_w: Long, sum_w: Double)
-  case class RollState(events: Seq[(Long, Double)])
+  /** `pending` = admitted rows not yet finalized (awaiting the watermark);
+    * `window` = the live trailing-frame event set of FINALIZED rows.
+    */
+  case class RollState(
+      pending: Seq[(Long, Int, java.sql.Timestamp, Double)],
+      window: Seq[(Long, Double)])
 
   /** Incremental trailing-window features (count/sum over `[ts − W, ts]`)
     * via `flatMapGroupsWithState` — the custom-state streaming path for the
     * rolling semantics session_window cannot express (SURVEY.md §2.8).
     *
-    * Per entity, state is exactly the window's live event set
-    * `(ts_micros, value)`; each micro-batch's rows are processed in
-    * event-time order in equal-ts groups (same frame convention as the
-    * batch engine: all equal-ts rows see each other — O2's RANGE frame),
-    * older events are evicted as the frame slides, and each input row emits
-    * one feature row identical to [[Rolling.rollingAgg]]'s for in-order
-    * arrival. State is bounded by the window width; entities silent past
-    * watermark + window time out and their state is dropped (the streaming
-    * analogue of O8's chunk hand-off: nothing outside `[max_ts − W, max_ts]`
-    * is ever needed again).
+    * Correctness under out-of-order arrival is by WATERMARK-DELAYED
+    * FINALIZATION, not by trusting arrival order: admitted rows buffer in
+    * state, and a row is emitted only once the watermark passes its event
+    * time — at which point Spark guarantees no earlier-ts row can ever be
+    * admitted, so finalization order IS event-time order, globally. Each
+    * finalized row's frame is computed from the sliding window of already-
+    * finalized events, in equal-ts groups (the batch engine's RANGE-frame
+    * convention: all equal-ts rows see each other — and since equal-ts rows
+    * finalize at the same watermark, a tie straddling micro-batches still
+    * emits identical full-frame values). The frame can therefore never
+    * contain an event with ts > the row's ts: the zero-leakage invariant
+    * holds for ANY arrival order the watermark admits, at the price of
+    * emission latency = the watermark delay.
+    *
+    * State is bounded: the window holds ≤ W of finalized events, pending
+    * holds ≤ watermark-delay of admitted rows. A group whose pending set is
+    * non-empty schedules an event-time timeout just past its max pending ts
+    * so buffered rows flush as soon as the (globally-driven) watermark
+    * passes them, even if the entity itself goes silent; an idle group with
+    * nothing pending times out and drops its state entirely.
     */
   def rollingStream(
       df: DataFrame, // streaming, transcript schema + value
@@ -79,34 +94,46 @@ object Streaming {
           // getNanos the full sub-second part)
           def micros(ts: java.sql.Timestamp): Long =
             ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
-          if (rows.isEmpty && state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var window = state.getOption.map(_.events.toVector)
-              .getOrElse(Vector.empty[(Long, Double)])
-            val batch = rows.toVector.sortBy(e => (micros(e.ts), e.turn_idx))
-            val out = Vector.newBuilder[RollingFeature]
-            var i = 0
-            while (i < batch.size) {
-              val t = micros(batch(i).ts)
-              // equal-ts group: all rows at t enter the frame together
-              var j = i
-              while (j < batch.size && micros(batch(j).ts) == t) j += 1
-              window = window.dropWhile(_._1 < t - windowMicros) ++
-                batch.slice(i, j).map(e => (micros(e.ts), e.value))
-              val cnt = window.size.toLong
-              val sum = window.iterator.map(_._2).sum
-              (i until j).foreach { r =>
-                out += RollingFeature(key, batch(r).turn_idx, batch(r).ts, cnt, sum)
-              }
-              i = j
+          val prior = state.getOption.getOrElse(RollState(Nil, Nil))
+          val pending = (prior.pending.toVector ++
+            rows.map(e => (micros(e.ts), e.turn_idx, e.ts, e.value)))
+            .sortBy(p => (p._1, p._2))
+          // Rows strictly below the watermark are final: nothing earlier can
+          // ever be admitted again. (A whole equal-ts group crosses at once.)
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          val (ready, stillPending) = pending.partition(_._1 < wmMicros)
+
+          var window = prior.window.toVector
+          val out = Vector.newBuilder[RollingFeature]
+          var i = 0
+          while (i < ready.size) {
+            val t = ready(i)._1
+            var j = i
+            while (j < ready.size && ready(j)._1 == t) j += 1
+            window = window.dropWhile(_._1 < t - windowMicros) ++
+              ready.slice(i, j).map(p => (p._1, p._4))
+            val cnt = window.size.toLong
+            val sum = window.iterator.map(_._2).sum
+            (i until j).foreach { r =>
+              out += RollingFeature(key, ready(r)._2, ready(r)._3, cnt, sum)
             }
-            state.update(RollState(window))
-            val maxTsMs = batch.last.ts.getTime
-            state.setTimeoutTimestamp(maxTsMs + windowMicros / 1000L + 1L)
-            out.result().iterator
+            i = j
           }
+          if (stillPending.isEmpty && state.hasTimedOut && ready.isEmpty) {
+            state.remove()
+          } else {
+            state.update(RollState(stillPending, window))
+            // flush pending as soon as the watermark passes it; GC an idle
+            // group one window past its last finalized event
+            val nextWake =
+              if (stillPending.nonEmpty) stillPending.map(_._1).max / 1000L + 1L
+              else window.lastOption.map(_._1 / 1000L + windowMicros / 1000L + 1L)
+                .getOrElse(state.getCurrentWatermarkMs() + windowMicros / 1000L + 1L)
+            // a timeout may not sit at/below the current watermark
+            state.setTimeoutTimestamp(
+              math.max(nextWake, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.result().iterator
         })
   }
 }

@@ -54,15 +54,22 @@ final class SnapshotIO(root: String) extends TableIO {
     new java.io.File(tableDir(name), s"snap_$v")
 
   /** All committed snapshot ids, oldest first — the hint file is the commit
-    * log (one id per line, atomically replaced as a whole); snapshot dirs on
-    * disk but absent from it are orphans of aborted commits and are never
-    * visible through any read path.
+    * log (`v2` header, then one id per line, atomically replaced as a
+    * whole); snapshot dirs on disk but absent from it are orphans of
+    * aborted commits and are never visible through any read path. A legacy
+    * header-less single-value hint (the pre-log format, where the value v
+    * meant "commits 1..v") is still readable — without the header, a
+    * post-orphan first commit id would be indistinguishable from it.
     */
   def snapshots(name: String): Seq[Long] = {
     val f = hintFile(name)
     if (!f.exists()) Seq.empty
-    else java.nio.file.Files.readString(f.toPath).split("\n")
-      .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    else {
+      val lines = java.nio.file.Files.readString(f.toPath).split("\n")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      if (lines.headOption.contains("v2")) lines.tail.map(_.toLong)
+      else (1L to lines.head.toLong) // legacy format
+    }
   }
 
   /** Current snapshot id, if any committed. */
@@ -91,7 +98,7 @@ final class SnapshotIO(root: String) extends TableIO {
     df.write.mode("errorifexists").parquet(snapDir(name, next).getPath)
     val tmp = new java.io.File(tableDir(name), s"_hint_tmp_$next")
     java.nio.file.Files.writeString(tmp.toPath,
-      (committed :+ next).mkString("\n"))
+      ("v2" +: (committed :+ next).map(_.toString)).mkString("\n"))
     // Atomic pointer swap — the commit point.
     java.nio.file.Files.move(tmp.toPath, hintFile(name).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -42,7 +42,7 @@ class StreamingSuite extends SparkTestBase {
 
   test("streaming rolling features (flatMapGroupsWithState) == batch window rolling") {
     implicit val sc = spark.sqlContext
-    val turns = Gen.turnsSeq(43L, 5, 30).sortBy(_.ts.getTime)
+    val turns = Gen.turnsSeq(43L, 5, 30).sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
     val withValue = (t: Turn) => Streaming.RollingEvent(
       t.conv_id, t.turn_idx, t.ts, t.text.length.toDouble)
     val stream = MemoryStream[Streaming.RollingEvent]
@@ -50,14 +50,31 @@ class StreamingSuite extends SparkTestBase {
         windowMicros = 3600L * 1000000, watermark = "10 minutes")
       .writeStream.format("memory").queryName("roll_stream")
       .outputMode("append").start()
-    // three in-event-time-order increments: state must carry across batches
     val evs = turns.map(withValue)
-    val (a, rest) = evs.splitAt(evs.size / 3)
-    val (b, c) = rest.splitAt(rest.size / 2)
+    // Adversarial feed: split in three, then HOLD BACK the last 9 minutes of
+    // increment A and deliver them in increment B — late, out of event-time
+    // order, but inside the 10-minute watermark, so they must be admitted
+    // AND produce exactly the batch result (watermark-delayed finalization).
+    val (a0, rest) = evs.splitAt(evs.size / 3)
+    val (b0, c0) = rest.splitAt(rest.size / 2)
+    val aMax = a0.map(_.ts.getTime).max
+    val (lateRows, a) = a0.partition(e => e.ts.getTime > aMax - 9 * 60 * 1000L)
+    assert(lateRows.nonEmpty, "fixture must actually exercise late arrival")
     stream.addData(a); q.processAllAvailable()
-    stream.addData(b); q.processAllAvailable()
-    stream.addData(c); q.processAllAvailable()
+    stream.addData(lateRows ++ b0); q.processAllAvailable()
+    stream.addData(c0); q.processAllAvailable()
+    // sentinel far in the future for a throwaway entity: advances the global
+    // watermark past every real row so all buffered rows finalize
+    val maxTs = evs.map(_.ts.getTime).max
+    stream.addData(Seq(Streaming.RollingEvent("zzz_flush", 0,
+      new Timestamp(maxTs + 3600L * 1000), 0.0)))
+    q.processAllAvailable()
+    // one more empty-ish batch so timeout-driven flushes run
+    stream.addData(Seq(Streaming.RollingEvent("zzz_flush", 1,
+      new Timestamp(maxTs + 7200L * 1000), 0.0)))
+    q.processAllAvailable()
     val streamed = spark.table("roll_stream")
+      .where(col("conv_id") =!= "zzz_flush")
       .collect().map(r => (r.getString(0), r.getInt(1)) ->
         ((r.getLong(3), r.getDouble(4)))).toMap
     q.stop()

@@ -240,6 +240,15 @@ class TextVecSuite extends SparkTestBase {
       topkSet(VectorOps.bruteForceTopK(q, c, 5)))
   }
 
+  test("q35 ASCII guard fails loudly on a non-ASCII corpus") {
+    val bad = Seq((1L, "plain ascii"), (2L, "héllo wörld")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextVecQueries.asciiGuarded(bad).select(length(col("text"))).collect()
+    }
+    assert(ex.getMessage.contains("ASCII") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ASCII")))
+  }
+
   test("media plumbing: schema, batch shape, deterministic stub features") {
     val media = MediaOps.syntheticMedia(planted.withColumn("doc_id", col("doc_id")))
     val feats = MediaOps.extractFeatures(media, batchSize = 8).collect()
