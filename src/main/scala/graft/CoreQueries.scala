@@ -729,6 +729,47 @@ object CoreQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  // ------------------------------------------------- train/test splits
+
+  /** Both split kinds over the transcript table, stacked: the out-of-time
+    * split at the corpus midpoint and a 25% whole-entity holdout — per
+    * (kind, split): row count, distinct entities, value sum. The
+    * entity-level no-straddle law is pinned separately in LeakageSuite.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir)
+    val byTime = Split.timeSplit(base, "ts", "2024-01-16 00:00:00")
+      .withColumn("kind", lit("oot"))
+    val byEntity = Split.entityHoldout(base, "conv_id", testFraction = 0.25)
+      .withColumn("kind", lit("entity_holdout"))
+    byTime.unionByName(byEntity)
+      .groupBy("kind", "split")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("conv_id")).as("n_convs"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("kind", "split")
+  }
+
+  val trainTestSplitSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |tagged AS (
+       |  SELECT 'oot' AS kind,
+       |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'train' ELSE 'test' END AS split,
+       |    conv_id, value
+       |  FROM t
+       |  UNION ALL
+       |  SELECT 'entity_holdout' AS kind,
+       |    CASE WHEN CAST(strpos('0123456789abcdef', substring(md5(conv_id), 31, 1)) - 1 AS INTEGER) * 16
+       |           + CAST(strpos('0123456789abcdef', substring(md5(conv_id), 32, 1)) - 1 AS INTEGER) < 64
+       |         THEN 'test' ELSE 'train' END AS split,
+       |    conv_id, value
+       |  FROM t
+       |)
+       |SELECT kind, split, count(*) AS n_rows,
+       |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       |  round(sum(value), 4) AS sum_value
+       |FROM tagged GROUP BY kind, split ORDER BY kind, split""".stripMargin
+
   def jsonAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "events")
       .select(col("event_type"),

@@ -54,6 +54,7 @@ object SparkEntry {
     "q36_lineitem_agg"   -> (CoreQueries.lineitemPricing _),
     "q37_part_supp_rev"  -> (CoreQueries.partSupplierRevenue _),
     "q38_supp_by_region" -> (CoreQueries.supplierByRegion _),
+    "q39_train_test"     -> (CoreQueries.trainTestSplit _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -99,5 +100,6 @@ object SparkEntry {
     "q36_lineitem_agg"   -> CoreQueries.lineitemPricingSql,
     "q37_part_supp_rev"  -> CoreQueries.partSupplierRevenueSql,
     "q38_supp_by_region" -> CoreQueries.supplierByRegionSql,
+    "q39_train_test"     -> CoreQueries.trainTestSplitSql,
   )
 }

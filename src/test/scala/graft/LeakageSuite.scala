@@ -83,4 +83,24 @@ class LeakageSuite extends SparkTestBase {
       Seq("turn_idx", "ts"), Seq(("value", 1)))
     assert(df.columns.contains("__leaky_lead_value_1"))
   }
+
+  test("entity holdout never straddles: a conversation lands wholly in one split") {
+    val turns = turnsDf(Gen.turnsSeq(44L, 40, 15))
+    val split = Split.entityHoldout(turns, "conv_id", testFraction = 0.3)
+    val straddlers = split.groupBy("conv_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1).count()
+    assert(straddlers == 0, "an entity's history crossed the train/test boundary")
+    // the realized entity-level test share sits near the requested fraction
+    val byConv = split.select("conv_id", "split").distinct()
+    val frac = byConv.where(col("split") === "test").count().toDouble /
+      byConv.count()
+    assert(frac > 0.1 && frac < 0.5, s"holdout fraction $frac far from 0.3")
+    // deterministic: same input → identical assignment
+    val again = Split.entityHoldout(turns, "conv_id", testFraction = 0.3)
+      .select("conv_id", "split").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val first = byConv.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
 }
