@@ -14,7 +14,8 @@ object Bench {
       val t0 = System.nanoTime()
       // A broken query must not look like a fast query: it reports -1.0 in
       // the machine-readable JSON (and prints loudly on stderr) instead of
-      // its small elapsed time; failed queries contribute 0 to the total.
+      // its small elapsed time; any failure also turns the headline total
+      // into the -1.0 sentinel (below).
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>

@@ -737,16 +737,27 @@ object CoreQueries {
     * entity-level no-straddle law is pinned separately in LeakageSuite.
     */
   def trainTestSplit(spark: SparkSession, dir: String): DataFrame = {
-    val base = t(spark, dir)
-    val byTime = Split.timeSplit(base, "ts", "2024-01-16 00:00:00")
-      .withColumn("kind", lit("oot"))
-    val byEntity = Split.entityHoldout(base, "conv_id", testFraction = 0.25)
-      .withColumn("kind", lit("entity_holdout"))
-    byTime.unionByName(byEntity)
+    // Both operators label the SAME single pass (renamed between them), then
+    // one explode stacks the two (kind, split) labelings — a union of two
+    // branches would scan events and run the transcripts window twice for a
+    // per-row label difference.
+    val labeled = Split.entityHoldout(
+        Split.timeSplit(t(spark, dir), "ts", "2024-01-16 00:00:00")
+          .withColumnRenamed("split", "oot_split"),
+        "conv_id", testFraction = 0.25)
+      .withColumnRenamed("split", "ent_split")
+    labeled.select(col("conv_id"), col("value"), explode(array(
+        struct(lit("oot").as("kind"), col("oot_split").as("split")),
+        struct(lit("entity_holdout").as("kind"), col("ent_split").as("split"))
+      )).as("ks"))
+      .select(col("ks.kind").as("kind"), col("ks.split").as("split"),
+        col("conv_id"), col("value"))
       .groupBy("kind", "split")
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("conv_id")).as("n_convs"),
-        round(sum(col("value")), 4).as("sum_value"))
+        // whole-table float sum → 0 dp (file-header convention: keeps the
+        // cross-engine compare stable against summation-order differences)
+        round(sum(col("value")), 0).as("sum_value"))
       .orderBy("kind", "split")
   }
 
@@ -767,7 +778,7 @@ object CoreQueries {
        |)
        |SELECT kind, split, count(*) AS n_rows,
        |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
-       |  round(sum(value), 4) AS sum_value
+       |  round(sum(value), 0) AS sum_value
        |FROM tagged GROUP BY kind, split ORDER BY kind, split""".stripMargin
 
   def jsonAgg(spark: SparkSession, dir: String): DataFrame =

@@ -70,7 +70,12 @@ object Streaming {
     * emits identical full-frame values). The frame can therefore never
     * contain an event with ts > the row's ts: the zero-leakage invariant
     * holds for ANY arrival order the watermark admits, at the price of
-    * emission latency = the watermark delay.
+    * emission latency = the watermark delay — and, as with every
+    * append-mode watermark aggregation (session_window included), rows the
+    * watermark never passes (the final watermark-delay of a stopped stream)
+    * stay buffered unemitted; a terminal flush requires advancing the
+    * watermark past them (e.g. a sentinel heartbeat event), not a special
+    * code path here.
     *
     * State is bounded: the window holds ≤ W of finalized events, pending
     * holds ≤ watermark-delay of admitted rows. A group whose pending set is
@@ -126,7 +131,9 @@ object Streaming {
             // flush pending as soon as the watermark passes it; GC an idle
             // group one window past its last finalized event
             val nextWake =
-              if (stillPending.nonEmpty) stillPending.map(_._1).max / 1000L + 1L
+              // wake as soon as the OLDEST pending row becomes final, not
+              // when the newest does — each row flushes promptly
+              if (stillPending.nonEmpty) stillPending.map(_._1).min / 1000L + 1L
               else window.lastOption.map(_._1 / 1000L + windowMicros / 1000L + 1L)
                 .getOrElse(state.getCurrentWatermarkMs() + windowMicros / 1000L + 1L)
             // a timeout may not sit at/below the current watermark

@@ -68,7 +68,9 @@ final class SnapshotIO(root: String) extends TableIO {
       val lines = java.nio.file.Files.readString(f.toPath).split("\n")
         .map(_.trim).filter(_.nonEmpty).toSeq
       if (lines.headOption.contains("v2")) lines.tail.map(_.toLong)
-      else (1L to lines.head.toLong) // legacy format
+      // header-less multi-line = the interim id-list format (no header yet)
+      else if (lines.size > 1) lines.map(_.toLong)
+      else (1L to lines.head.toLong) // legacy single-value format: commits 1..v
     }
   }
 
