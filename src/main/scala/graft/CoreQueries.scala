@@ -729,6 +729,22 @@ object CoreQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir)
+      .cube("role", "tool")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("value")), 0).as("sum_value"))
+      .select("role", "tool", "gid", "n", "sum_value")
+      .orderBy("gid", "role", "tool")
+
+  val cubeAggSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte}
+       |SELECT role, tool,
+       |  CAST(grouping(role) * 2 + grouping(tool) AS BIGINT) AS gid,
+       |  count(*) AS n, round(sum(value), 0) AS sum_value
+       |FROM t GROUP BY CUBE (role, tool)
+       |ORDER BY gid, role, tool""".stripMargin
+
   // ------------------------------------------------- train/test splits
 
   /** Both split kinds over the transcript table, stacked: the out-of-time

@@ -55,6 +55,7 @@ object SparkEntry {
     "q37_part_supp_rev"  -> (CoreQueries.partSupplierRevenue _),
     "q38_supp_by_region" -> (CoreQueries.supplierByRegion _),
     "q39_train_test"     -> (CoreQueries.trainTestSplit _),
+    "q40_cube"           -> (CoreQueries.cubeAgg _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
     "q37_part_supp_rev"  -> CoreQueries.partSupplierRevenueSql,
     "q38_supp_by_region" -> CoreQueries.supplierByRegionSql,
     "q39_train_test"     -> CoreQueries.trainTestSplitSql,
+    "q40_cube"           -> CoreQueries.cubeAggSql,
   )
 }
