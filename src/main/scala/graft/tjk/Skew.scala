@@ -192,7 +192,20 @@ object Skew {
   private final class SlidingState(agg: Agg) {
     private val q = mutable.ArrayDeque.empty[(Long, Any)]
     private var nNonNull: Long = 0L
+    // Kahan-compensated running sum: unlike Spark's per-frame recompute, an
+    // add-subtract running double accumulates UNBOUNDED error over a long hot
+    // entity (each evict leaves a rounding residue). The compensation term
+    // keeps the drift at ulp scale regardless of eviction count; state is
+    // additionally reset at every (entity, chunk) boundary, so error can
+    // never cross chunks. Pinned by SkewSuite's 10⁶-eviction drift test.
     private var sum: Double = 0.0
+    private var sumC: Double = 0.0
+    private def kahanAdd(v: Double): Unit = {
+      val y = v - sumC
+      val t = sum + y
+      sumC = (t - sum) - y
+      sum = t
+    }
     // Multiset for min/max under FIFO eviction.
     private val ordered = new java.util.TreeMap[Double, Int]()
     private val counts = mutable.HashMap.empty[Any, Int]
@@ -213,7 +226,7 @@ object Skew {
       if (v != null) {
         nNonNull += 1
         agg match {
-          case Agg.Sum | Agg.Mean => sum += toD(v)
+          case Agg.Sum | Agg.Mean => kahanAdd(toD(v))
           case Agg.Min | Agg.Max  => ordered.merge(toD(v), 1, (a, b) => a + b)
           case Agg.NUnique =>
             counts.updateWith(v) { c => Some(c.getOrElse(0) + 1) }
@@ -222,13 +235,13 @@ object Skew {
       }
     }
 
-    def evictBefore(minTs: Long): Unit =
+    def evictBefore(minTs: Long): Unit = {
       while (q.nonEmpty && q.head._1 < minTs) {
         val (_, v) = q.removeHead()
         if (v != null) {
           nNonNull -= 1
           agg match {
-            case Agg.Sum | Agg.Mean => sum -= toD(v)
+            case Agg.Sum | Agg.Mean => kahanAdd(-toD(v))
             case Agg.Min | Agg.Max =>
               val d = toD(v)
               val c = ordered.get(d)
@@ -241,6 +254,10 @@ object Skew {
           }
         }
       }
+      // An emptied window is a natural re-zero point: clear both the sum and
+      // its compensation so no residue survives into the next occupancy.
+      if (nNonNull == 0L) { sum = 0.0; sumC = 0.0 }
+    }
 
     def result: Any = agg match {
       case Agg.Count   => nNonNull

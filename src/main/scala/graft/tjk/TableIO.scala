@@ -98,6 +98,21 @@ final class SnapshotIO(root: String) extends TableIO {
     val committed = snapshots(name)
     val next = ((0L +: committed) ++ onDisk).max + 1L
     df.write.mode("errorifexists").parquet(snapDir(name, next).getPath)
+    // Optimistic-concurrency check, mirroring Iceberg's compare-and-swap
+    // commit: re-read the log after the (errorifexists-serialized) snapshot
+    // write; if it moved past what this commit was based on, abort — leaving
+    // snap_<next> as an invisible orphan — instead of replacing the log and
+    // silently dropping the other writer's commit. This is check-then-act
+    // over a plain filesystem, so a window remains between the re-read and
+    // the move; real Iceberg closes it with the catalog's atomic CAS, which
+    // is exactly what the production swap behind TableIO.forRoot buys.
+    // Within one JVM the window is closed too:
+    synchronized {
+    val nowCommitted = snapshots(name)
+    if (nowCommitted != committed)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit to $name: log advanced from $committed to " +
+          s"$nowCommitted while snapshot $next was being written; retry")
     val tmp = new java.io.File(tableDir(name), s"_hint_tmp_$next")
     java.nio.file.Files.writeString(tmp.toPath,
       ("v2" +: (committed :+ next).map(_.toString)).mkString("\n"))
@@ -105,6 +120,7 @@ final class SnapshotIO(root: String) extends TableIO {
     java.nio.file.Files.move(tmp.toPath, hintFile(name).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   override def exists(spark: SparkSession, name: String): Boolean =

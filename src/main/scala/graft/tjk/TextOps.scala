@@ -60,8 +60,14 @@ object TextOps {
     // repartition; at or above it, the scan already splits ≥ p ways and the
     // input passes through untouched.
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(p.toLong) * maxSplit
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Stats fall back to defaultSizeInBytes (≈Long.MaxValue) for sources
+    // with no size estimate — that is "unknown", not "large": treating it as
+    // large would silently serialize the very fan-out this method exists to
+    // parallelize. Unknown ⇒ assume small (a redundant repartition of a big
+    // input costs one shuffle; a serialized 64× fan-out costs the cluster).
+    val unknown = size >= BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val small = unknown || size < BigInt(p.toLong) * maxSplit
     if (small) df.repartition(p) else df
   }
 
