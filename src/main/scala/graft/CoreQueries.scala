@@ -129,6 +129,25 @@ object CoreQueries {
        |  w2 AS (PARTITION BY conv_id ORDER BY ts RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
        |ORDER BY conv_id, turn_idx""".stripMargin
 
+  // ------------------------------------------- O3 approx: HLL windowed nunique
+
+  /** q42 — the HLL fast path for O3 ([[Rolling.approxRollingNunique]]).
+    * Approximate by design ⇒ rows-only driver check (no DuckDB HLL++ with
+    * matching seeds exists), so the plan shape is require()d IN-QUERY: the
+    * frame must actually evaluate `approx_count_distinct` (a silent fallback
+    * to an exact plan would invalidate the "bounded sketch state" claim),
+    * and the suite separately pins approx-vs-exact tolerance (SkewSuite).
+    */
+  def approxNunique(spark: SparkSession, dir: String): DataFrame = {
+    val out = Rolling.approxRollingNunique(t(spark, dir), "conv_id", "ts", "tool", D1)
+      .select("conv_id", "turn_idx", "approx_nunique_tool_86400s")
+      .orderBy("conv_id", "turn_idx")
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("approx_count_distinct"),
+      s"q42 must plan approx_count_distinct over the frame; got:\n$plan")
+    out
+  }
+
   // ---------------------------------------------------------------- O4/O6: lag + ffill
 
   def lagFfill(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,219 @@
+package graft
+
+import java.time.Duration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tjk._
+
+/** Driver entries that exercise the streaming mode (q41) and the CSV/JSON
+  * sources (q43) end-to-end. Both are self-contained "law" queries in the
+  * q33 style: they stage scratch inputs under /tmp, run the machinery, fold
+  * the result small, materialize it, clean up, and return a deterministic
+  * DataFrame the DuckDB oracle can recompute from the original parquet.
+  */
+object SourceStreamQueries {
+
+  private val H1micros = 3600L * 1000000L
+
+  /** q41 — the incremental rolling-feature stream
+    * ([[Streaming.rollingStream]], watermark-delayed finalization) driven
+    * over a REPLAYED out-of-order feed of the q01-shaped input, checked
+    * against the batch window SQL: batch/stream parity is the whole design
+    * claim of the streaming mode (SURVEY.md §2.8), so the batch oracle IS
+    * the streaming oracle.
+    *
+    * Replay shape: the transcript slice is split into 3 hash-slices, each
+    * spanning the WHOLE time range, written as one file per slice and
+    * streamed with maxFilesPerTrigger=1 in controlled mtime order — so
+    * every micro-batch delivers rows wildly out of event-time order, while
+    * a watermark delay wider than the data's time span keeps them all
+    * admissible (out-of-order but in-watermark). Two sentinel heartbeat
+    * rows on a reserved conv_id arrive last: the first advances the
+    * watermark past every real row (finalizing them), the second triggers
+    * the batch in which the event-time timeouts flush every group's
+    * buffered tail. Sentinels are filtered from the output; every real row
+    * therefore finalizes, and the oracle is simply the batch window SQL.
+    */
+  def streamingRolling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tjk_q41_stream")
+      .toFile.getAbsolutePath
+    try {
+      // Quarter of the conversations: the law is identical, the bench cost
+      // is not. md5-derived predicate so DuckDB replicates it exactly
+      // (xxhash64 is not available there — q33's bucket convention).
+      val feed = Tables.transcripts(spark, dir)
+        .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(4)) === 0 &&
+          col("value").isNotNull)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ts").cast("timestamp").as("ts"), col("value").cast("double").as("value"))
+
+      // 3 hash-slices, one file each, mtimes forcing slice order. ONE pass
+      // over the (window-bearing) transcript view: stage all slices with a
+      // single partitionBy write, then move each slice's file into place —
+      // per-slice filtered writes would recompute the view per slice.
+      val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+      val slices = 3
+      val stage = new java.io.File(tmp, "stage")
+      feed
+        .withColumn("__slice",
+          pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(slices)))
+        .repartition(1)
+        .write.partitionBy("__slice").mode("overwrite").parquet(stage.getPath)
+      (0 until slices).foreach { s =>
+        val dir = new java.io.File(stage, s"__slice=$s")
+        val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, f"slice_$s%02d.parquet")
+        require(part.renameTo(dst), s"stage move failed for slice $s")
+        dst.setLastModified(1000000000000L + s * 10000L)
+      }
+      // explicit slice paths: the sentinel files land in inDir later and
+      // must never leak into the fed-row accounting
+      val staged = spark.read.parquet(
+        (0 until slices).map(s => new java.io.File(inDir, f"slice_$s%02d.parquet").getPath): _*)
+      val Array(minTs, maxTs) = staged
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val spanSec = (maxTs - minTs) / 1000000L + 1L
+      val delaySec = spanSec + 60L
+      // Sentinel heartbeats: past every real row + the watermark delay, on
+      // a reserved conv_id (filtered from output). Written LAST (mtime).
+      Seq(0, 1).foreach { k =>
+        val sentTs = new java.sql.Timestamp((maxTs + (delaySec + 3600L * (k + 1)) * 1000000L) / 1000L)
+        val stage = new java.io.File(tmp, s"stage_sent_$k")
+        Seq(("~~watermark~~", k, sentTs, 0.0))
+          .toDF("conv_id", "turn_idx", "ts", "value")
+          .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, s"zz_sentinel_$k.parquet")
+        require(part.renameTo(dst), "sentinel move failed")
+        dst.setLastModified(1000000000000L + (slices + k) * 10000L)
+      }
+
+      val stream = spark.readStream
+        .schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val features = Streaming.rollingStream(stream, H1micros, s"$delaySec seconds")
+      // Stateful micro-batches pay a fixed cost PER STATE-STORE PARTITION
+      // PER BATCH (store init/commit/snapshot); at the bench session's 32
+      // shuffle partitions × ~7 batches that fixed cost dwarfs the data.
+      // State partition count is locked in at query start from this conf —
+      // scope it down for the stream, restore for everything after. (On a
+      // real cluster the same knob is simply sized to the stream's key
+      // cardinality rather than the batch session default.)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val sinkName = s"tjk_q41_${java.util.UUID.randomUUID().toString.take(8)}"
+      try {
+        val q = features.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+
+      // Fold per conversation (small), drop sentinels, and check in-query
+      // that NOTHING stayed buffered: the streamed row count must equal the
+      // fed row count — a silent shortfall here is exactly the bug class
+      // watermark finalization can hide.
+      val streamed = spark.table(sinkName)
+        .where(col("conv_id") =!= "~~watermark~~")
+      val rows = streamed
+        .groupBy("conv_id")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("count_w")).as("sum_cnt"),
+          round(sum(col("sum_w")), 0).as("sum_sum"),
+          max(col("count_w")).as("max_cnt"))
+        .orderBy("conv_id")
+        .collect()
+      spark.catalog.dropTempView(sinkName) // free the memory sink's rows
+      val fed = staged.count()
+      val emitted = rows.map(_.getLong(1)).sum
+      require(emitted == fed,
+        s"stream emitted $emitted of $fed fed rows — watermark finalization lost data")
+      rows.toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .toDF("conv_id", "n_rows", "sum_cnt", "sum_sum", "max_cnt")
+        .orderBy("conv_id")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  val streamingRollingSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |f AS (
+       |  SELECT conv_id, value,
+       |    count(value) OVER w AS count_w,
+       |    sum(value) OVER w AS sum_w
+       |  FROM t
+       |  WHERE ascii(substring(md5(conv_id), 32, 1)) % 4 = 0 AND value IS NOT NULL
+       |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+       |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT conv_id, count(*) AS n_rows, sum(count_w) AS sum_cnt,
+       |       round(sum(sum_w), 0) AS sum_sum, max(count_w) AS max_cnt
+       |FROM f GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  /** q43 — CSV and JSON sources exercised end-to-end (SURVEY.md §2.2's last
+    * unexercised row): the transcript view is round-tripped through BOTH
+    * text formats (µs timestamp format preserved explicitly), re-read with
+    * the declared schema, sessionized, and the two results are required
+    * IDENTICAL in-query; the CSV-derived result is returned and checked
+    * against the parquet-derived DuckDB oracle — so a lossy round-trip in
+    * either format fails loudly on either engine.
+    */
+  def csvJsonSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tjk_q43_src")
+      .toFile.getAbsolutePath
+    try {
+      val view = Tables.transcripts(spark, dir)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      // Driver parquet timestamps are NTZ → the NTZ format option is the
+      // one that must carry µs; set both so the query is storage-agnostic.
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      def opts[T](w: org.apache.spark.sql.DataFrameWriter[T]) =
+        w.option("timestampFormat", fmt).option("timestampNTZFormat", fmt)
+      opts(view.write).option("header", "true").mode("overwrite").csv(s"$tmp/csv")
+      opts(view.write).mode("overwrite").json(s"$tmp/json")
+
+      val fromCsv = spark.read.schema(view.schema)
+        .option("header", "true")
+        .option("timestampFormat", fmt).option("timestampNTZFormat", fmt)
+        .csv(s"$tmp/csv")
+      val fromJson = spark.read.schema(view.schema)
+        .option("timestampFormat", fmt).option("timestampNTZFormat", fmt)
+        .json(s"$tmp/json")
+
+      def agg(src: DataFrame): DataFrame =
+        Sessionize.sessionAgg(src, "conv_id", "ts", "turn_idx",
+          Duration.ofMinutes(30))
+      val a = agg(fromCsv)
+      val fpA = Lineage.tableFingerprint(a)
+      val fpB = Lineage.tableFingerprint(agg(fromJson))
+      require(fpA == fpB, s"CSV vs JSON round-trip diverged: $fpA vs $fpB")
+
+      a.orderBy("conv_id", "session_id").collect().toSeq
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[java.time.LocalDateTime](2), r.getAs[java.time.LocalDateTime](3),
+          r.getLong(4)))
+        .toDF("conv_id", "session_id", "session_start", "session_end", "n_turns")
+        .orderBy("conv_id", "session_id")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+}

@@ -56,6 +56,9 @@ object SparkEntry {
     "q38_supp_by_region" -> (CoreQueries.supplierByRegion _),
     "q39_train_test"     -> (CoreQueries.trainTestSplit _),
     "q40_cube"           -> (CoreQueries.cubeAgg _),
+    "q41_streaming_rolling" -> (SourceStreamQueries.streamingRolling _),
+    "q42_approx_nunique"    -> (CoreQueries.approxNunique _),
+    "q43_csv_json"          -> (SourceStreamQueries.csvJsonSource _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,5 +106,9 @@ object SparkEntry {
     "q38_supp_by_region" -> CoreQueries.supplierByRegionSql,
     "q39_train_test"     -> CoreQueries.trainTestSplitSql,
     "q40_cube"           -> CoreQueries.cubeAggSql,
+    // q41: the streaming mode's oracle IS the batch window SQL (parity by
+    // design); q42 is approximate by design → rows-only.
+    "q41_streaming_rolling" -> SourceStreamQueries.streamingRollingSql,
+    "q43_csv_json"          -> CoreQueries.sessionAggSql,
   )
 }

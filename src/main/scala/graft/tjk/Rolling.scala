@@ -1,8 +1,9 @@
 package graft.tjk
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import graft.tjk.expressions.NativeFunctions
 
 /** O2/O3 — rolling-window aggregates (SURVEY.md §2.1).
   *
@@ -17,14 +18,73 @@ import org.apache.spark.sql.functions._
   * reuse): at 100 TB this means ONE exchange for the whole feature set, not
   * one per feature.
   *
+  * Two r3 defaults close the remaining whale-entity hazards:
+  *  - [[SkewPolicy.Auto]]: hot entities (per-entity rows over the session
+  *    threshold) are detected up front and routed through the exact chunked
+  *    path ([[Skew.chunkedRollingAgg]], O(rows) amortized) — a Window node
+  *    would put a whale's whole timeline on ONE task and recompute every
+  *    frame from scratch (O(rows × frame)).
+  *  - exact windowed nunique plans as the native
+  *    [[graft.tjk.expressions.WindowNUnique]] typed aggregate, not
+  *    `size(collect_set(...))` — no frame-sized array is materialized per
+  *    output row (VERDICT r2 item 3).
+  *
   * Output types are unified (SURVEY.md §1.2): count/nunique → long,
   * sum/mean/min/max → double — so "allclose vs reference" is well-defined and
-  * the skew-chunked path (Skew.scala) produces byte-identical schemas.
+  * the skew-chunked path produces byte-identical schemas.
   */
 object Rolling {
 
-  /** Trailing time-window aggregates; adds one column per spec. */
+  /** Session conf key: per-entity row count above which an entity is "hot"
+    * and leaves the Window path. 0 or negative disables detection.
+    */
+  val HotThresholdKey = "spark.graft.rolling.hotThreshold"
+  val HotThresholdDefault = 500000L
+
+  /** Detection never returns more hot keys than this — above it the input
+    * is not "a few whales" but a hot-majority distribution, and the caller
+    * should run [[Skew.chunkedRollingAgg]] over the whole input instead.
+    */
+  val MaxHotKeys = 10000
+
+  /** Trailing time-window aggregates; adds one column per spec.
+    *
+    * Under the default [[SkewPolicy.Auto]] this runs a small detection job
+    * at CALL time (a sampled per-entity count — one narrow scan, map-side
+    * combinable; the same aggregation shape as the lineage pass, SURVEY.md
+    * §4.2). No hot keys — the overwhelmingly common case — returns the
+    * plain single-Window-node plan unchanged (ONE exchange, pinned in
+    * PlanShapeSuite). With hot keys, cold entities keep that plan and hot
+    * entities go through the chunked path; results are identical
+    * (SkewSuite property), only the task layout changes.
+    */
   def rollingAgg(
+      df: DataFrame,
+      entity: String,
+      tsCol: String,
+      specs: Seq[RollingSpec],
+      policy: SkewPolicy = SkewPolicy.Auto): DataFrame = {
+    if (specs.isEmpty) return df
+    val hot = policy match {
+      case SkewPolicy.WindowOnly => Seq.empty
+      case SkewPolicy.Auto =>
+        val t = df.sparkSession.conf.get(HotThresholdKey, HotThresholdDefault.toString).toLong
+        detectHotKeys(df, entity, t)
+      case SkewPolicy.Guarded(t) => detectHotKeys(df, entity, t)
+    }
+    if (hot.isEmpty) windowRolling(df, entity, tsCol, specs)
+    else {
+      // coalesce(false): a NULL entity never matches isin — it must fall to
+      // the cold branch, not vanish from both.
+      val isHot = coalesce(col(entity).isin(hot: _*), lit(false))
+      val chunkSpan = specs.map(_.windowMicros).max
+      val cold = windowRolling(df.where(!isHot), entity, tsCol, specs)
+      val hotDf = Skew.chunkedRollingAgg(df.where(isHot), entity, tsCol, specs, chunkSpan)
+      cold.unionByName(hotDf)
+    }
+  }
+
+  private def windowRolling(
       df: DataFrame,
       entity: String,
       tsCol: String,
@@ -33,8 +93,51 @@ object Rolling {
     specs.foldLeft(df) { (d, s) =>
       val upper = if (s.strict) -1L else 0L
       val frame = base.rangeBetween(-s.windowMicros, upper)
-      d.withColumn(s.outName, aggColumn(s.agg, s.col, frame))
+      d.withColumn(s.outName, aggColumn(df.sparkSession, s.agg, s.col, frame))
     }
+  }
+
+  /** Hot-entity detection: per-entity count over the entity column only
+    * (column pruning keeps the scan narrow; the partial aggregate collapses
+    * a whale to one row per map task, so detection itself cannot skew).
+    * Inputs over ~64 MB are sampled 1% with a fixed seed — a deterministic
+    * plan, and statistically safe: a true whale (≥ threshold rows) appears
+    * ≥ 0.3·threshold·fraction times in the sample with overwhelming
+    * probability, and a false positive merely routes a warm-but-not-hot
+    * entity through the chunked path, which is result-invariant.
+    */
+  private[graft] def detectHotKeys(
+      df: DataFrame,
+      entity: String,
+      threshold: Long): Seq[Any] = {
+    if (threshold <= 0L) return Nil
+    val stats = df.queryExecution.optimizedPlan.stats
+    val conf = df.sparkSession.sessionState.conf
+    val sizeKnown = stats.sizeInBytes < BigInt(conf.defaultSizeInBytes)
+    // No entity can have `threshold` rows if the whole input provably has
+    // fewer: sizeInBytes below one byte per threshold row is a safe skip
+    // for any non-degenerate encoding (and a wrong skip only loses the
+    // guard, never correctness).
+    if (sizeKnown && stats.sizeInBytes < BigInt(threshold)) return Nil
+    val sample = sizeKnown && stats.sizeInBytes > BigInt(64L << 20)
+    val keys = df.select(col(entity))
+    val (src, cutoff) =
+      if (sample) {
+        val frac = 0.01
+        (keys.sample(withReplacement = false, frac, seed = 42L),
+          math.max(2L, (threshold * frac * 0.3).toLong))
+      } else (keys, threshold + 1L)
+    val rows = src
+      .groupBy(col(entity)).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= cutoff)
+      .orderBy(col("__n").desc)
+      .limit(MaxHotKeys + 1)
+      .collect()
+    require(rows.length <= MaxHotKeys,
+      s"more than $MaxHotKeys hot entities (> $threshold rows each) — this " +
+        "is a hot-majority distribution, not a few whales; run " +
+        "Skew.chunkedRollingAgg over the whole input instead of the guard")
+    rows.map(_.get(0)).toSeq
   }
 
   /** Trailing row-frame aggregates over the stable total order
@@ -50,16 +153,15 @@ object Rolling {
       Window.partitionBy(col(entity)).orderBy(col(tsCol), col(tieCol))
     specs.foldLeft(df) { (d, s) =>
       val frame = base.rowsBetween(-s.rowsBack.toLong, 0L)
-      d.withColumn(s.outName, aggColumn(s.agg, s.col, frame))
+      d.withColumn(s.outName, aggColumn(df.sparkSession, s.agg, s.col, frame))
     }
   }
 
   /** Approximate windowed nunique — the bounded-memory FAST path for O3:
     * HyperLogLog++ over the same trailing range frame, O(1) sketch state per
-    * frame evaluation vs collect_set's O(frame·distinct) heap. Use for
-    * monitoring/coarse features where ±rsd is acceptable; the exact
-    * bounded-memory path at skew scale is [[Skew.chunkedRollingAgg]] with
-    * [[Agg.NUnique]] (incremental multiset, O(distinct-in-frame) total).
+    * frame evaluation. Use for monitoring/coarse features where ±rsd is
+    * acceptable; the exact default is [[Agg.NUnique]] via [[rollingAgg]]
+    * (WindowNUnique in-window, chunked incremental multiset for hot keys).
     */
   def approxRollingNunique(
       df: DataFrame,
@@ -78,16 +180,19 @@ object Rolling {
       approx_count_distinct(col(valueCol), rsd).over(frame))
   }
 
-  private[tjk] def aggColumn(agg: Agg, c: String, frame: WindowSpec): Column =
+  private[tjk] def aggColumn(
+      spark: SparkSession, agg: Agg, c: String, frame: WindowSpec): Column =
     agg match {
       case Agg.Count   => count(col(c)).over(frame)
       case Agg.Sum     => sum(col(c).cast("double")).over(frame)
       case Agg.Mean    => avg(col(c).cast("double")).over(frame)
       case Agg.Min     => min(col(c).cast("double")).over(frame)
       case Agg.Max     => max(col(c).cast("double")).over(frame)
-      // Exact windowed nunique: size(collect_set) — verified on this Spark
-      // (SURVEY.md §2.9). Memory is O(frame·distinct) per partition; the
-      // approximate fast path is approx_count_distinct over the same frame.
-      case Agg.NUnique => size(collect_set(col(c)).over(frame)).cast("long")
+      // Exact windowed nunique via the native typed aggregate — same values
+      // as size(collect_set(...)) / count(DISTINCT ...) OVER, but evaluates
+      // straight to a long (no per-row frame-sized array materialization).
+      case Agg.NUnique =>
+        NativeFunctions.register(spark)
+        call_function(NativeFunctions.windowNUniqueName, col(c)).over(frame)
     }
 }

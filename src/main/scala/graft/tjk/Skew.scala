@@ -192,20 +192,32 @@ object Skew {
   private final class SlidingState(agg: Agg) {
     private val q = mutable.ArrayDeque.empty[(Long, Any)]
     private var nNonNull: Long = 0L
-    // Kahan-compensated running sum: unlike Spark's per-frame recompute, an
-    // add-subtract running double accumulates UNBOUNDED error over a long hot
-    // entity (each evict leaves a rounding residue). The compensation term
-    // keeps the drift at ulp scale regardless of eviction count; state is
-    // additionally reset at every (entity, chunk) boundary, so error can
-    // never cross chunks. Pinned by SkewSuite's 10⁶-eviction drift test.
+    // Kahan-compensated running sum + periodic exact re-accumulation:
+    // unlike Spark's per-frame recompute, an add-subtract running double
+    // accumulates UNBOUNDED error over a long hot entity (each evict leaves
+    // a rounding residue, and even compensated summation's error bound
+    // grows with Σ|xᵢ| over history, not with the current frame). The
+    // compensation keeps per-op residue at ulp scale, and every
+    // ~max(1024, frame) evictions the sum is recomputed exactly from the
+    // LIVE queue — amortized O(1) per op — so the error is always bounded
+    // by one pass over the CURRENT frame's values, with no history
+    // contamination. State also resets at every (entity, chunk) boundary.
+    // Pinned by SkewSuite's 10⁶-eviction two-magnitude drift test.
     private var sum: Double = 0.0
     private var sumC: Double = 0.0
+    private var evictsSinceResum: Long = 0L
     private def kahanAdd(v: Double): Unit = {
       val y = v - sumC
       val t = sum + y
       sumC = (t - sum) - y
       sum = t
     }
+    private def maybeResum(): Unit =
+      if (evictsSinceResum >= math.max(1024L, q.size.toLong)) {
+        evictsSinceResum = 0L
+        sum = 0.0; sumC = 0.0
+        q.foreach { case (_, v) => if (v != null) kahanAdd(toD(v)) }
+      }
     // Multiset for min/max under FIFO eviction.
     private val ordered = new java.util.TreeMap[Double, Int]()
     private val counts = mutable.HashMap.empty[Any, Int]
@@ -241,7 +253,8 @@ object Skew {
         if (v != null) {
           nNonNull -= 1
           agg match {
-            case Agg.Sum | Agg.Mean => kahanAdd(-toD(v))
+            case Agg.Sum | Agg.Mean =>
+              kahanAdd(-toD(v)); evictsSinceResum += 1; maybeResum()
             case Agg.Min | Agg.Max =>
               val d = toD(v)
               val c = ordered.get(d)

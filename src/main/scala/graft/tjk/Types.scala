@@ -41,6 +41,29 @@ object Agg {
     throw new IllegalArgumentException(s"unknown agg: $n"))
 }
 
+/** Skew policy for [[Rolling.rollingAgg]] (SURVEY.md §4.2: AQE splits
+  * skewed JOINS only — a Window node still processes each hot entity on ONE
+  * task, so the engine must route hot entities itself).
+  */
+sealed trait SkewPolicy
+object SkewPolicy {
+  /** DEFAULT: detect hot entities (per-entity row count over the session
+    * threshold `spark.graft.rolling.hotThreshold`, sampled on large inputs)
+    * and route them through the exact chunked path; everything else keeps
+    * the single-Window-node plan. Costs one cheap detection job at plan
+    * construction; results are identical either way (chunking is
+    * result-invariant, property-pinned in SkewSuite).
+    */
+  case object Auto extends SkewPolicy
+  /** Auto with an explicit per-entity row threshold (rows > threshold ⇒ hot). */
+  final case class Guarded(hotThreshold: Long) extends SkewPolicy
+  /** Single Window node, no detection job — for inputs KNOWN to carry no hot
+    * entity (tiny dimensions, pre-bucketed slices) or for benchmarking the
+    * raw window path. A whale entity on this path owns one task end-to-end.
+    */
+  case object WindowOnly extends SkewPolicy
+}
+
 /** One time-window rolling feature: agg(col) over the trailing window
   * [ts − window, ts] (strict ⇒ [ts − window, ts), zero-leakage either way —
   * the frame upper bound never exceeds the current row's ts).

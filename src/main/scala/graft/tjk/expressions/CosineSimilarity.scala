@@ -99,8 +99,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object NativeFunctions {
   val cosineName = "tjk_cosine"
   val hyperplaneSigName = "tjk_hyperplane_sig"
+  val windowNUniqueName = "tjk_window_nunique"
+
+  @volatile private var registeredIn: SparkSession = null
 
   def register(spark: SparkSession): Unit = {
+    // Idempotence guard: re-registration is harmless but logs a WARN per
+    // call; skip when this session already holds the functions.
+    if (registeredIn eq spark) return
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName,
       { exprs: Seq[Expression] => CosineSimilarity(exprs(0), exprs(1)) },
@@ -109,6 +115,13 @@ object NativeFunctions {
       hyperplaneSigName,
       { exprs: Seq[Expression] => HyperplaneSignature(exprs(0), exprs(1)) },
       "built-in")
+    // Aggregate functions are returned bare; the analyzer wraps them in an
+    // AggregateExpression at resolution (same as the builtin registry).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      windowNUniqueName,
+      { exprs: Seq[Expression] => WindowNUnique(exprs(0)) },
+      "built-in")
+    registeredIn = spark
   }
 
   /** Column-API handle: cosineNative($"a", $"b") (requires register()). */

@@ -87,6 +87,31 @@ class PlanShapeSuite extends SparkTestBase {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("windowed nunique plans as the native typed agg — no collect_set") {
+    // VERDICT r2 item 3: the default O3 path must not materialize a
+    // frame-sized array per output row. Same spec shape as driver q04.
+    val df = Rolling.rollingAgg(turns, "conv_id", "ts", Seq(
+      RollingSpec("role", Agg.NUnique, Duration.ofHours(1)),
+      RollingSpec("tool", Agg.NUnique, Duration.ofHours(24))))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"), s"collect_set still planned:\n$plan")
+    assert(plan.contains("tjk_window_nunique"), s"typed agg missing:\n$plan")
+    assert(exchanges(df) == 1)
+  }
+
+  test("skew-guarded rolling: cold branch keeps ONE window shuffle, hot adds ONE chunk shuffle") {
+    // Force routing: threshold 10 on a generator with a hot conversation.
+    val skewed = Gen.transcripts(spark, nConvs = 10, seed = 42L,
+        medianLen = 8, hotFactor = 40)
+      .withColumn("value", length(col("text")).cast("double"))
+    val df = Rolling.rollingAgg(skewed, "conv_id", "ts",
+      Seq(RollingSpec("value", Agg.Sum, Duration.ofHours(1))),
+      SkewPolicy.Guarded(10L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"guard did not route (no union):\n$plan")
+    assert(exchanges(df) == 2, plan) // window(conv_id) + chunk(conv_id,__chunk)
+  }
+
   test("chunked rolling costs exactly ONE shuffle — on (entity, chunk)") {
     val df = Skew.chunkedRollingAgg(turns, "conv_id", "ts",
       Seq(RollingSpec("value", Agg.Sum, Duration.ofHours(1))),

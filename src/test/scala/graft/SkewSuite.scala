@@ -73,6 +73,109 @@ class SkewSuite extends SparkTestBase {
     }
   }
 
+  test("auto skew guard: guarded rollingAgg == WindowOnly on hot-key data") {
+    val specs = Seq(
+      RollingSpec("value", Agg.Sum, H1),
+      RollingSpec("value", Agg.Mean, H1),
+      RollingSpec("tool", Agg.NUnique, H1),
+      RollingSpec("value", Agg.Sum, H1, strict = true))
+    // Threshold low enough that the generator's hot conversation(s) route
+    // through the chunked path while the tail stays on the Window node —
+    // the exact union shape a whale triggers in production.
+    val hot = Rolling.detectHotKeys(skewed, "conv_id", 100L)
+    assert(hot.nonEmpty, "guard found no hot keys on deliberately skewed data")
+    def fp(df: org.apache.spark.sql.DataFrame) = Lineage.tableFingerprint(
+      df.select(col("conv_id"), col("turn_idx"),
+        round(col("sum_value_3600s"), 9).as("s"),
+        round(col("mean_value_3600s"), 9).as("m"),
+        col("nunique_tool_3600s"),
+        round(col("sum_value_3600s_strict"), 9).as("ss")))
+    val guarded = fp(Rolling.rollingAgg(skewed, "conv_id", "ts", specs,
+      SkewPolicy.Guarded(100L)))
+    val plain = fp(Rolling.rollingAgg(skewed, "conv_id", "ts", specs,
+      SkewPolicy.WindowOnly))
+    assert(guarded == plain)
+  }
+
+  test("default path survives a whale entity (10⁶ rows, 24h frame)") {
+    // One conversation, a million turns, every row inside one 24h window
+    // span: the Window path would recompute an up-to-10⁶-element frame per
+    // row (O(10¹²) work — does not finish) and collect_set would allocate a
+    // frame-sized array per row on top. The DEFAULT rollingAgg must detect
+    // the whale and route it through the chunked incremental path, which is
+    // O(rows) amortized. Correctness is spot-checked against directly
+    // computed frame values at sampled rows.
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 1000000
+    val d24 = Duration.ofHours(24)
+    // one turn every 60 ms → 10⁶ rows span ~16.7 h < 24 h
+    val whale = spark.range(n.toLong).select(
+      lit("whale").as("conv_id"),
+      col("id").cast("int").as("turn_idx"),
+      lit("user").as("role"), lit("x").as("text"),
+      (col("id") % 7).cast("string").as("tool"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 60000L).as("ts"),
+      (col("id") % 1000).cast("double").as("value"))
+    val t0 = System.nanoTime()
+    val out = Rolling.rollingAgg(whale, "conv_id", "ts",
+        Seq(RollingSpec("value", Agg.Sum, d24),
+          RollingSpec("value", Agg.NUnique, d24)),
+        SkewPolicy.Guarded(100000L))
+      .select("turn_idx", "sum_value_86400s", "nunique_value_86400s")
+    val got = out.where(col("turn_idx").isin(0, 999, 123456, 999999))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 120.0, s"whale took $sec s — guard did not engage")
+    // expected values: frame = all rows so far (span < 24h), value = id%1000
+    def expect(i: Long) = {
+      val k = i + 1
+      val full = k / 1000; val rem = k % 1000
+      val sum = full * 499500.0 + (rem - 1) * rem / 2.0
+      (sum, math.min(k, 1000L))
+    }
+    Seq(0L, 999L, 123456L, 999999L).foreach { i =>
+      val (es, en) = expect(i)
+      val (gs, gn) = got(i.toInt)
+      assert(gs == es && gn == en, s"row $i: got ($gs,$gn) want ($es,$en)")
+    }
+  }
+
+  test("chunked sliding sum: no drift after 10⁶ evictions") {
+    // Deterministic discriminator for running-sum drift: 10⁵ rows at ~1e6
+    // magnitude, then 9×10⁵ rows at ~1e-6 magnitude, one row per second,
+    // 99 s frame (always full → ~10⁶ evictions, no empty-window re-zero).
+    // Once the big phase has fully left the window, the true frame sum is
+    // ~1e-4; a plain add-subtract running sum carries an absolute residue of
+    // the big phase's rounding (≫ 1e-4, i.e. the OUTPUT would be 100%
+    // wrong), and even pure Kahan's worst case scales with Σ|xᵢ| over
+    // history. The periodic live-queue re-accumulation bounds the error by
+    // one pass over the CURRENT frame, so tiny-phase frames must come out
+    // at ~1e-20 absolute error.
+    val n = 1000000
+    val big = 100000
+    def valOf(i: Long): Double =
+      if (i < big) (i % 97 + 1).toDouble * 1e6 else ((i % 89) + 1).toDouble * 1e-6
+    val whale = spark.range(n.toLong).select(
+      lit("e").as("conv_id"),
+      col("id").cast("int").as("turn_idx"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L).as("ts"),
+      when(col("id") < big, ((col("id") % 97) + 1).cast("double") * 1e6)
+        .otherwise(((col("id") % 89) + 1).cast("double") * 1e-6).as("value"))
+    val out = Skew.chunkedRollingAgg(whale, "conv_id", "ts",
+        Seq(RollingSpec("value", Agg.Sum, Duration.ofSeconds(99))),
+        chunkSpanMicros = 99L * 1000000L)
+      .where(col("turn_idx").isin(200000, 500000, 999999))
+      .select("turn_idx", "sum_value_99s").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    Seq(200000, 500000, 999999).foreach { i =>
+      val exact = (math.max(0, i - 99) to i).map(j => valOf(j.toLong)).sum
+      val got = out(i)
+      assert(math.abs(got - exact) <= 1e-12 * math.abs(exact) + 1e-15,
+        s"row $i drifted: got $got want $exact")
+    }
+  }
+
   test("saltedAgg == plain groupBy aggregate") {
     val plain = skewed.groupBy("conv_id").agg(
         count(col("value")).as("count_value"),
