@@ -45,7 +45,22 @@ object Profile {
     time("q20 simhash sig")(TextOps.simhash(docs).count())
     time("q20 full")(TextVecQueries.simhashPairs(spark, sfDir).count())
     time("q18 full")(TextVecQueries.ngramJaccard(spark, sfDir).count())
-    time("q18 again (warm)")(TextVecQueries.ngramJaccard(spark, sfDir).count())
+    // per-job breakdown of the warm q18 run
+    locally {
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, (js.time, String.valueOf(js.properties.getProperty("spark.job.description"))))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val (t0, d) = jobs.getOrDefault(je.jobId, (je.time, "?"))
+          System.err.println(f"[profile]   q18 job ${je.jobId}%3d ${(je.time - t0) / 1e3}%6.2f s  ${d.take(60)}")
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      time("q18 again (warm)")(TextVecQueries.ngramJaccard(spark, sfDir).count())
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(l)
+    }
     time("q33 full")(CoreQueries.lineageResume(spark, sfDir).count())
     time("q33 again (warm)")(CoreQueries.lineageResume(spark, sfDir).count())
     time("q21 full")(TextVecQueries.annCosine(spark, sfDir).count())

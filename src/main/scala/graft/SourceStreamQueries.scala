@@ -36,14 +36,19 @@ object SourceStreamQueries {
     */
   def streamingRolling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = {
+      System.err.println(f"[q41] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val tmp = java.nio.file.Files.createTempDirectory("tjk_q41_stream")
       .toFile.getAbsolutePath
     try {
-      // Quarter of the conversations: the law is identical, the bench cost
-      // is not. md5-derived predicate so DuckDB replicates it exactly
+      // An eighth of the conversations: the law is identical, the bench
+      // cost is not. md5-derived predicate so DuckDB replicates it exactly
       // (xxhash64 is not available there — q33's bucket convention).
       val feed = Tables.transcripts(spark, dir)
-        .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(4)) === 0 &&
+        .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8)) === 0 &&
           col("value").isNotNull)
         .select(col("conv_id"), col("turn_idx"),
           col("ts").cast("timestamp").as("ts"), col("value").cast("double").as("value"))
@@ -76,6 +81,7 @@ object SourceStreamQueries {
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val spanSec = (maxTs - minTs) / 1000000L + 1L
       val delaySec = spanSec + 60L
+      phase("staging")
       // Sentinel heartbeats: past every real row + the watermark delay, on
       // a reserved conv_id (filtered from output). Written LAST (mtime).
       Seq(0, 1).foreach { k =>
@@ -114,7 +120,11 @@ object SourceStreamQueries {
           .start()
         q.processAllAvailable()
         q.stop()
+        val prog = q.recentProgress
+        System.err.println(s"[q41] ${prog.length} batches: " +
+          prog.map(p => s"${p.batchId}:${p.batchDuration}ms").mkString(" "))
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      phase("stream")
 
       // Fold per conversation (small), drop sentinels, and check in-query
       // that NOTHING stayed buffered: the streamed row count must equal the
@@ -155,7 +165,7 @@ object SourceStreamQueries {
        |    count(value) OVER w AS count_w,
        |    sum(value) OVER w AS sum_w
        |  FROM t
-       |  WHERE ascii(substring(md5(conv_id), 32, 1)) % 4 = 0 AND value IS NOT NULL
+       |  WHERE ascii(substring(md5(conv_id), 32, 1)) % 8 = 0 AND value IS NOT NULL
        |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts
        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
        |)
@@ -176,7 +186,11 @@ object SourceStreamQueries {
     val tmp = java.nio.file.Files.createTempDirectory("tjk_q43_src")
       .toFile.getAbsolutePath
     try {
+      // Eighth subset (md5-replicable): the round-trip law does not need
+      // the whole corpus, and the bench does not need two full text-format
+      // rewrites of it. Band 1, disjoint from q41's band 0.
       val view = Tables.transcripts(spark, dir)
+        .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8)) === 1)
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
       // Driver parquet timestamps are NTZ → the NTZ format option is the
       // one that must carry µs; set both so the query is storage-agnostic.
@@ -216,4 +230,30 @@ object SourceStreamQueries {
       rm(new java.io.File(tmp))
     }
   }
+
+  /** q43 oracle: q10's session-aggregate SQL restricted to the same
+    * md5-derived eighth of conversations the query round-trips.
+    */
+  val csvJsonSourceSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |tq AS (SELECT * FROM t WHERE ascii(substring(md5(conv_id), 32, 1)) % 8 = 1),
+       |f AS (
+       |  SELECT conv_id, turn_idx, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS flag
+       |  FROM tq WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+       |),
+       |s AS (
+       |  SELECT conv_id, turn_idx, ts,
+       |    CAST(sum(flag) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM f
+       |)
+       |SELECT conv_id,
+       |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  count(*) AS n_turns
+       |FROM s GROUP BY conv_id, session_seq
+       |ORDER BY conv_id, session_id""".stripMargin
 }

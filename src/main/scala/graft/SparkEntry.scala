@@ -109,6 +109,6 @@ object SparkEntry {
     // q41: the streaming mode's oracle IS the batch window SQL (parity by
     // design); q42 is approximate by design → rows-only.
     "q41_streaming_rolling" -> SourceStreamQueries.streamingRollingSql,
-    "q43_csv_json"          -> CoreQueries.sessionAggSql,
+    "q43_csv_json"          -> SourceStreamQueries.csvJsonSourceSql,
   )
 }

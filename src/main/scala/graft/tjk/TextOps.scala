@@ -206,17 +206,31 @@ object TextOps {
     val sh = shingles(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = hotShingles(sh, maxShingleDf)
-    val interRare = rarePairCounts(sh, hot)
-    val hotSh = sh.join(hot, Seq("g"))
-    val interHot = interRare.select("id_a", "id_b")
-      .join(hotSh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
-      .join(hotSh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_hot"))
+    // One tiny probe job: on a corpus with NO hot shingle (df ≤ cap
+    // everywhere — most corpora most of the time), the anti-join and the
+    // whole hot-part machinery are identities over empty sets; skip their
+    // ~4 stages instead of letting AQE discover the emptiness shuffle by
+    // shuffle. Values are identical by construction either way (hot-part
+    // = 0 for every pair when no shingle is hot).
+    val anyHot = !hot.isEmpty
+    val inter =
+      if (!anyHot)
+        rarePairCounts(sh, hot.limit(0))
+          .withColumnRenamed("inter_rare", "inter")
+      else {
+        val interRare = rarePairCounts(sh, hot)
+        val hotSh = sh.join(hot, Seq("g"))
+        val interHot = interRare.select("id_a", "id_b")
+          .join(hotSh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
+          .join(hotSh.select(col("doc_id").as("id_b"), col("g")), Seq("id_b", "g"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter_hot"))
+        interRare
+          .join(interHot, Seq("id_a", "id_b"), "left")
+          .withColumn("inter",
+            col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+      }
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    interRare
-      .join(interHot, Seq("id_a", "id_b"), "left")
-      .withColumn("inter",
-        col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
+    inter
       .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(cnt.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
