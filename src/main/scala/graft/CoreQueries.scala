@@ -587,11 +587,24 @@ object CoreQueries {
 
   // ------------------------------------------------- 2.5: rollup / grouping sets
 
+  /** Whole-table value sums in q34/q40 are EXACT-CENTS sums: `value` is a
+    * 2-decimal quantity, so `sum(round(value·100) as long)` is an exact
+    * integer on both engines, and the final /100 + round is computed from
+    * the IDENTICAL double on both sides. A raw double `round(sum(value),0)`
+    * is order-dependent in its last bits, and at sf0.1 one cube cell's true
+    * sum lands exactly on a .5 half-tie (998497.50), where the engines'
+    * summation orders rounded to opposite integers.
+    */
+  private val sumCents: org.apache.spark.sql.Column =
+    round(sum(round(col("value") * 100).cast("long")) / 100.0, 0)
+  private val sumCentsSql: String =
+    "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 0)"
+
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir)
       .rollup("role", "tool")
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-        round(sum(col("value")), 0).as("sum_value"))
+        sumCents.as("sum_value"))
       .select("role", "tool", "gid", "n", "sum_value")
       .orderBy("gid", "role", "tool")
 
@@ -599,7 +612,7 @@ object CoreQueries {
     s"""WITH ${Tables.transcriptsSqlCte}
        |SELECT role, tool,
        |  CAST(grouping(role) * 2 + grouping(tool) AS BIGINT) AS gid,
-       |  count(*) AS n, round(sum(value), 0) AS sum_value
+       |  count(*) AS n, $sumCentsSql AS sum_value
        |FROM t GROUP BY ROLLUP (role, tool)
        |ORDER BY gid, role, tool""".stripMargin
 
@@ -749,7 +762,7 @@ object CoreQueries {
     t(spark, dir)
       .cube("role", "tool")
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-        round(sum(col("value")), 0).as("sum_value"))
+        sumCents.as("sum_value"))
       .select("role", "tool", "gid", "n", "sum_value")
       .orderBy("gid", "role", "tool")
 
@@ -757,7 +770,7 @@ object CoreQueries {
     s"""WITH ${Tables.transcriptsSqlCte}
        |SELECT role, tool,
        |  CAST(grouping(role) * 2 + grouping(tool) AS BIGINT) AS gid,
-       |  count(*) AS n, round(sum(value), 0) AS sum_value
+       |  count(*) AS n, $sumCentsSql AS sum_value
        |FROM t GROUP BY CUBE (role, tool)
        |ORDER BY gid, role, tool""".stripMargin
 
@@ -787,9 +800,9 @@ object CoreQueries {
       .groupBy("kind", "split")
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("conv_id")).as("n_convs"),
-        // whole-table float sum → 0 dp (file-header convention: keeps the
-        // cross-engine compare stable against summation-order differences)
-        round(sum(col("value")), 0).as("sum_value"))
+        // exact-cents sum (see sumCents): a raw-double 0 dp round sits one
+        // summation-order bit away from flipping on .5 half-ties
+        sumCents.as("sum_value"))
       .orderBy("kind", "split")
   }
 
@@ -810,7 +823,7 @@ object CoreQueries {
        |)
        |SELECT kind, split, count(*) AS n_rows,
        |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
-       |  round(sum(value), 0) AS sum_value
+       |  $sumCentsSql AS sum_value
        |FROM tagged GROUP BY kind, split ORDER BY kind, split""".stripMargin
 
   def jsonAgg(spark: SparkSession, dir: String): DataFrame =

@@ -40,7 +40,19 @@ object Profile {
     time("q19 full")(TextVecQueries.minhashLsh(spark, sfDir).count())
     time("q19 again (warm)")(TextVecQueries.minhashLsh(spark, sfDir).count())
     time("q22 collect side")(embs.count())
-    time("q22 full")(TextVecQueries.dedupEmbed(spark, sfDir).count())
+    locally {
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (for {a <- si.completionTime; b <- si.submissionTime} yield a - b).getOrElse(-1L)
+          System.err.println(f"[profile]   q22 stage ${si.stageId}%3d ${dur / 1e3}%6.2f s  ${si.name.take(70)}")
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      time("q22 full")(TextVecQueries.dedupEmbed(spark, sfDir).count())
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(l)
+    }
     time("q22 again (warm)")(TextVecQueries.dedupEmbed(spark, sfDir).count())
     time("q20 simhash sig")(TextOps.simhash(docs).count())
     time("q20 full")(TextVecQueries.simhashPairs(spark, sfDir).count())
