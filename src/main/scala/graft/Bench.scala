@@ -38,8 +38,8 @@ object Bench {
       val t0 = System.nanoTime()
       // A broken query must not look like a fast query: it reports -1.0 in
       // the machine-readable JSON (and prints loudly on stderr) instead of
-      // its small elapsed time; any failure also turns the headline total
-      // into the -1.0 sentinel (below).
+      // its small elapsed time; any failure also poisons the headline total
+      // with the large-positive sentinel + failed flag (below).
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>

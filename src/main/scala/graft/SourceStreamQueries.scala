@@ -65,20 +65,30 @@ object SourceStreamQueries {
           pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(slices)))
         .repartition(1)
         .write.partitionBy("__slice").mode("overwrite").parquet(stage.getPath)
-      (0 until slices).foreach { s =>
+      val slicePaths = (0 until slices).flatMap { s =>
+        // an empty hash-slice writes no partition dir — legitimate at tiny
+        // scale factors; the stream simply gets fewer files
         val dir = new java.io.File(stage, s"__slice=$s")
-        val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, f"slice_$s%02d.parquet")
-        require(part.renameTo(dst), s"stage move failed for slice $s")
-        dst.setLastModified(1000000000000L + s * 10000L)
+        val part = Option(dir.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.endsWith(".parquet"))
+        part.map { p =>
+          val dst = new java.io.File(inDir, f"slice_$s%02d.parquet")
+          require(p.renameTo(dst), s"stage move failed for slice $s")
+          dst.setLastModified(1000000000000L + s * 10000L)
+          dst.getPath
+        }
       }
+      require(slicePaths.nonEmpty,
+        s"q41: the md5-band subset of $dir selected no rows — empty feed")
       // explicit slice paths: the sentinel files land in inDir later and
       // must never leak into the fed-row accounting
-      val staged = spark.read.parquet(
-        (0 until slices).map(s => new java.io.File(inDir, f"slice_$s%02d.parquet").getPath): _*)
-      val Array(minTs, maxTs) = staged
+      val staged = spark.read.parquet(slicePaths: _*)
+      val mm = staged
         .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        .collect()(0)
+      require(!mm.isNullAt(0) && !mm.isNullAt(1),
+        s"q41: feed has no non-null timestamps in $dir")
+      val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
       val spanSec = (maxTs - minTs) / 1000000L + 1L
       val delaySec = spanSec + 60L
       phase("staging")
@@ -136,7 +146,12 @@ object SourceStreamQueries {
         .groupBy("conv_id")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("count_w")).as("sum_cnt"),
-          round(sum(col("sum_w")), 0).as("sum_sum"),
+          // exact-cents fold (CoreQueries.sumCents convention): each per-row
+          // sum_w is a sum of 2-decimal values, so round(sum_w·100) recovers
+          // its exact cent count; summing longs is order-independent, and a
+          // raw-double round(sum(sum_w), 0) would sit one summation-order
+          // bit from flipping on .50 half-ties
+          round(sum(round(col("sum_w") * 100).cast("long")) / 100.0, 0).as("sum_sum"),
           max(col("count_w")).as("max_cnt"))
         .orderBy("conv_id")
         .collect()
@@ -170,7 +185,8 @@ object SourceStreamQueries {
        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
        |)
        |SELECT conv_id, count(*) AS n_rows, sum(count_w) AS sum_cnt,
-       |       round(sum(sum_w), 0) AS sum_sum, max(count_w) AS max_cnt
+       |       round(sum(CAST(round(sum_w * 100) AS BIGINT)) / 100.0, 0) AS sum_sum,
+       |       max(count_w) AS max_cnt
        |FROM f GROUP BY conv_id ORDER BY conv_id""".stripMargin
 
   /** q43 — CSV and JSON sources exercised end-to-end (SURVEY.md §2.2's last

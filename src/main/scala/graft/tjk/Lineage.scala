@@ -56,20 +56,30 @@ object Resume {
 
   case class BucketResult(bucket: Int, skipped: Boolean, rowCount: Long, contentHash: Long)
 
-  /** Bucket-granular checkpoint/resume, ONE input pass.
+  /** Bucket-granular checkpoint/resume, ONE input pass per WAVE (default:
+    * one wave = one pass total).
     *
     * Buckets whose data dir + manifest verify are skipped off the manifest
-    * alone (no job). All missing buckets are then computed in a SINGLE job —
-    * `job(input restricted to missing buckets)` written with
+    * alone (no job). The missing buckets are computed in `waves` jobs —
+    * `job(input restricted to the wave's buckets)` written with
     * `partitionBy(bucket)` — NOT one filtered scan per bucket: at 100 TB on
     * plain Parquet, B sequential `where(bucket = b)` jobs are B full passes
     * over the input (only Iceberg-style bucket-partition pruning would save
-    * them), while this shape reads the input exactly once regardless of B
-    * (pinned by LineageSuite's bytes-read assertion). Per-bucket manifests
+    * them), while this shape reads the input `waves` times regardless of B
+    * (bytes-read pinned in ResumeSuite for waves=1). Per-bucket manifests
     * are fingerprinted from the WRITTEN files (one pass over the output, the
     * same read-back-what-was-committed trust model as before), and each
-    * bucket still commits individually — data rename first, manifest last —
-    * so a crash mid-commit re-runs only unmanifested buckets (idempotent).
+    * bucket still commits individually — data rename first, manifest last.
+    *
+    * `waves` is the input-passes vs restart-granularity dial: a crash loses
+    * at most the CURRENT wave's work (completed waves are committed), so
+    * waves=1 minimizes input scans and waves→B approaches the old
+    * per-bucket incremental commit at per-bucket scan cost. Note that the
+    * "reads the input once" claim is about THIS method's scans; a `job`
+    * whose own plan runs extra input passes (e.g. `rollingAgg`'s default
+    * skew detection on large inputs) adds its own — pass
+    * `SkewPolicy.WindowOnly` inside the job to keep a strict one-scan
+    * budget.
     *
     * Contract (was implicit, now load-bearing): `job` must be
     * bucket-decomposable — `job(A ∪ B) == job(A) ∪ job(B)` for slices of
@@ -85,8 +95,10 @@ object Resume {
       entity: String,
       outDir: String,
       buckets: Int,
-      bucketCol: Option[org.apache.spark.sql.Column] = None)(
+      bucketCol: Option[org.apache.spark.sql.Column] = None,
+      waves: Int = 1)(
       job: DataFrame => DataFrame): Seq[BucketResult] = {
+    require(waves >= 1, s"waves must be >= 1, got $waves")
     val root = new java.io.File(outDir)
     root.mkdirs()
     // Default bucket function: xxhash64(entity) mod buckets. Callers may
@@ -103,11 +115,15 @@ object Resume {
           java.nio.file.Files.readString(manifestFile(b).toPath)))
       else None
     }.toMap
-    val missing = (0 until buckets).filterNot(done.contains)
-
-    val computed: Map[Int, (Long, Long)] =
-      if (missing.isEmpty) Map.empty
+    val allMissing = (0 until buckets).filterNot(done.contains)
+    val waveGroups = // contiguous split into ≤ waves non-empty groups
+      if (allMissing.isEmpty) Seq.empty
       else {
+        val w = math.min(waves, allMissing.size)
+        allMissing.grouped((allMissing.size + w - 1) / w).toSeq
+      }
+
+    def computeWave(missing: Seq[Int]): Map[Int, (Long, Long)] = {
         // Clear half-committed leftovers of the missing buckets, then run
         // the ONE job over exactly those buckets' input rows.
         missing.foreach { b =>
@@ -153,6 +169,9 @@ object Resume {
         deleteRec(tmp)
         committed
       }
+
+    val computed: Map[Int, (Long, Long)] =
+      waveGroups.flatMap(computeWave).toMap
 
     (0 until buckets).map { b =>
       done.get(b) match {

@@ -41,9 +41,14 @@ object Rolling {
   val HotThresholdKey = "spark.graft.rolling.hotThreshold"
   val HotThresholdDefault = 500000L
 
-  /** Detection never returns more hot keys than this — above it the input
-    * is not "a few whales" but a hot-majority distribution, and the caller
-    * should run [[Skew.chunkedRollingAgg]] over the whole input instead.
+  /** Routing cap: detection routes at most this many (largest) entities to
+    * the chunked path. More candidates than this is not "a few whales" but a
+    * hot-heavy distribution — the cap keeps the driver-side key list and the
+    * isin filter bounded, the top-K biggest entities (the ones that would
+    * actually stall tasks) still route, and the remainder stay on the Window
+    * path, which is always CORRECT, just unguarded. Never an abort: the
+    * sampled path's cutoff deliberately over-triggers (~0.3× threshold), so
+    * candidate count alone must not fail a job the plain plan would finish.
     */
   val MaxHotKeys = 10000
 
@@ -131,12 +136,14 @@ object Rolling {
       .groupBy(col(entity)).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= cutoff)
       .orderBy(col("__n").desc)
-      .limit(MaxHotKeys + 1)
+      .limit(MaxHotKeys)
       .collect()
-    require(rows.length <= MaxHotKeys,
-      s"more than $MaxHotKeys hot entities (> $threshold rows each) — this " +
-        "is a hot-majority distribution, not a few whales; run " +
-        "Skew.chunkedRollingAgg over the whole input instead of the guard")
+    if (rows.length == MaxHotKeys)
+      System.err.println(
+        s"[rollingAgg] skew guard saturated at $MaxHotKeys candidate hot " +
+          s"entities (threshold $threshold) — routing the $MaxHotKeys " +
+          "largest; consider Skew.chunkedRollingAgg over the whole input " +
+          "for hot-heavy distributions")
     rows.map(_.get(0)).toSeq
   }
 

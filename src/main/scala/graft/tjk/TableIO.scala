@@ -106,8 +106,11 @@ final class SnapshotIO(root: String) extends TableIO {
     // over a plain filesystem, so a window remains between the re-read and
     // the move; real Iceberg closes it with the catalog's atomic CAS, which
     // is exactly what the production swap behind TableIO.forRoot buys.
-    // Within one JVM the window is closed too:
-    synchronized {
+    // Within one JVM the window is closed by a JVM-global commit lock —
+    // NOT `this.synchronized`: two writers naturally construct separate
+    // SnapshotIO instances for the same root, so an instance monitor would
+    // not serialize them.
+    SnapshotIO.commitLock.synchronized {
     val nowCommitted = snapshots(name)
     if (nowCommitted != committed)
       throw new java.util.ConcurrentModificationException(
@@ -125,6 +128,13 @@ final class SnapshotIO(root: String) extends TableIO {
 
   override def exists(spark: SparkSession, name: String): Boolean =
     currentSnapshot(name).isDefined
+}
+
+object SnapshotIO {
+  /** JVM-global commit serialization (coarse by design — commit is
+    * milliseconds of metadata work; see the write() comment).
+    */
+  private[tjk] val commitLock = new Object
 }
 
 object TableIO {

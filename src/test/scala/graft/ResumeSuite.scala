@@ -12,9 +12,13 @@ class ResumeSuite extends SparkTestBase {
 
   private val H1 = Duration.ofHours(1)
 
+  // WindowOnly: the bytes-read pin below asserts runBucketed's OWN scan
+  // count; the default skew guard would add its (legitimate, documented)
+  // detection scan on large inputs and muddy that assertion.
   private def job(df: org.apache.spark.sql.DataFrame) =
     Rolling.rollingAgg(df, "conv_id", "ts",
-        Seq(RollingSpec("value", Agg.Sum, H1), RollingSpec("tool", Agg.NUnique, H1)))
+        Seq(RollingSpec("value", Agg.Sum, H1), RollingSpec("tool", Agg.NUnique, H1)),
+        SkewPolicy.WindowOnly)
       .select(col("conv_id"), col("turn_idx"),
         round(col("sum_value_3600s"), 9).as("sum_1h"), col("nunique_tool_3600s"))
 
@@ -109,6 +113,28 @@ class ResumeSuite extends SparkTestBase {
       if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
     }
     deleteRec(new java.io.File(outDir)); deleteRec(new java.io.File(inDir))
+  }
+
+  test("waves split the missing buckets into committed groups with identical results") {
+    // waves = the input-passes vs restart-granularity dial: same manifests
+    // and same committed output as the one-pass run, bucket for bucket.
+    val input = turnsDf(Gen.turnsSeq(44L, 16, 25))
+    val one = Files.createTempDirectory("tjk_resume_w1").toString
+    val four = Files.createTempDirectory("tjk_resume_w4").toString
+    val r1 = Resume.runBucketed(spark, input, "conv_id", one, 8)(job)
+    val r4 = Resume.runBucketed(spark, input, "conv_id", four, 8, waves = 4)(job)
+    assert(r4.forall(!_.skipped))
+    assert(r1.map(r => (r.bucket, r.rowCount, r.contentHash)) ==
+      r4.map(r => (r.bucket, r.rowCount, r.contentHash)))
+    val fp1 = Lineage.tableFingerprint(
+      spark.read.parquet((0 until 8).map(b => s"$one/bucket=$b"): _*))
+    val fp4 = Lineage.tableFingerprint(
+      spark.read.parquet((0 until 8).map(b => s"$four/bucket=$b"): _*))
+    assert(fp1 == fp4)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(one)); deleteRec(new java.io.File(four))
   }
 
   test("lineage fingerprint is partition-layout independent") {
