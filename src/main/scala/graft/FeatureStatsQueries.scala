@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tjk._
+import graft.tjk.FeatureStats.NumFeature
+
+/** Driver entries for the feature-analysis surface (missing rate / moments,
+  * PSI / KS drift between the OOT halves, IV against a binary label) —
+  * the reference family's standard post-compute feature reports, here as
+  * scale-shaped grouped aggregations with exact DuckDB oracles.
+  */
+object FeatureStatsQueries {
+
+  private val Boundary = "2024-01-16 00:00:00" // q39's OOT boundary
+  private val BinW = 50.0
+  private val NBins = 10
+
+  /** q44 — per-feature profile: exact-integer moments for the 2-decimal
+    * `value` and the integer `len_text`, missingness for `tool`.
+    */
+  def featureProfile(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.transcripts(spark, dir)
+    FeatureStats.profileNumeric(base, NumFeature("value", col("value"), 2))
+      .unionByName(FeatureStats.profileNumeric(
+        base, NumFeature("len_text", length(col("text")), 0)))
+      .unionByName(FeatureStats.profileMissing(base, "tool"))
+      .orderBy("feature")
+  }
+
+  val featureProfileSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |v AS (SELECT count(*) n, sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) nm,
+       |             sum(CAST(round(value*100) AS BIGINT)) si,
+       |             sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT)) sq
+       |      FROM t),
+       |l AS (SELECT count(*) n, sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) nm,
+       |             sum(CAST(length(text) AS BIGINT)) si,
+       |             sum(CAST(length(text) AS BIGINT)*CAST(length(text) AS BIGINT)) sq
+       |      FROM t),
+       |m AS (SELECT count(*) n, sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) nm FROM t)
+       |SELECT 'len_text' AS feature, n, nm AS n_missing,
+       |  round(CAST(nm AS DOUBLE)/n, 6) AS missing_rate,
+       |  round(si/1.0/(n-nm), 6) AS mean,
+       |  round(sqrt(sq/1.0/(n-nm) - pow(si/1.0/(n-nm), 2)), 6) AS std
+       |FROM l
+       |UNION ALL
+       |SELECT 'tool', n, nm, round(CAST(nm AS DOUBLE)/n, 6),
+       |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+       |FROM m
+       |UNION ALL
+       |SELECT 'value', n, nm, round(CAST(nm AS DOUBLE)/n, 6),
+       |  round(si/100.0/(n-nm), 6),
+       |  round(sqrt(sq/10000.0/(n-nm) - pow(si/100.0/(n-nm), 2)), 6)
+       |FROM v
+       |ORDER BY feature""".stripMargin
+
+  /** q45 — drift + predictive-power report: PSI and exact KS of `value`
+    * between the OOT train/test halves, and IV of binned `value` against
+    * the is-purchase label. Fixed-width bins (deterministic + replicable,
+    * unlike approximate quantiles), Laplace smoothing on counts.
+    */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.transcripts(spark, dir)
+    val split = Split.timeSplit(base, "ts", Boundary)
+    val train = split.where(col("split") === "train")
+    val test = split.where(col("split") === "test")
+    FeatureStats.iv(base, "value", col("role") === "purchase", BinW, NBins)
+      .select(lit("iv_value").as("metric"), col("iv").as("stat"))
+      .unionByName(FeatureStats.ks(train, test, "value")
+        .select(lit("ks_value").as("metric"), col("ks").as("stat")))
+      .unionByName(FeatureStats.psi(train, test, "value", BinW, NBins)
+        .select(lit("psi_value").as("metric"), col("psi").as("stat")))
+      .orderBy("metric")
+  }
+
+  val driftReportSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |tr AS (SELECT value FROM t WHERE ts < TIMESTAMP '$Boundary' AND value IS NOT NULL),
+       |te AS (SELECT value FROM t WHERE ts >= TIMESTAMP '$Boundary' AND value IS NOT NULL),
+       |bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x)),
+       |pa AS (SELECT least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}) AS bin, count(*) AS na FROM tr GROUP BY 1),
+       |pb AS (SELECT least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}) AS bin, count(*) AS nb FROM te GROUP BY 1),
+       |pj AS (SELECT bins.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+       |       FROM bins LEFT JOIN pa USING (bin) LEFT JOIN pb USING (bin)),
+       |pt AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pj),
+       |psi AS (SELECT round(sum(((nb+0.5)/(tb+5.0) - (na+0.5)/(ta+5.0)) *
+       |                        ln(((nb+0.5)/(tb+5.0)) / ((na+0.5)/(ta+5.0)))), 6) AS stat
+       |        FROM pj, pt),
+       |ka AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS na FROM tr GROUP BY 1),
+       |kb AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS nb FROM te GROUP BY 1),
+       |km AS (SELECT coalesce(ka.v, kb.v) AS v, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+       |       FROM ka FULL JOIN kb ON ka.v = kb.v),
+       |kc AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+       |              sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+       |              (SELECT sum(na) FROM km) AS ta, (SELECT sum(nb) FROM km) AS tb
+       |       FROM km),
+       |ks AS (SELECT round(max(abs(CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)), 6) AS stat FROM kc),
+       |lab AS (SELECT value, CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS y
+       |        FROM t WHERE value IS NOT NULL),
+       |ig AS (SELECT least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}) AS bin,
+       |              sum(y) AS np, sum(1-y) AS nn FROM lab GROUP BY 1),
+       |ij AS (SELECT bins.bin, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
+       |       FROM bins LEFT JOIN ig USING (bin)),
+       |it AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM ij),
+       |iv AS (SELECT round(sum(((np+0.5)/(tp+5.0) - (nn+0.5)/(tn+5.0)) *
+       |                       ln(((np+0.5)/(tp+5.0)) / ((nn+0.5)/(tn+5.0)))), 6) AS stat
+       |       FROM ij, it)
+       |SELECT 'iv_value' AS metric, stat FROM iv
+       |UNION ALL SELECT 'ks_value', stat FROM ks
+       |UNION ALL SELECT 'psi_value', stat FROM psi
+       |ORDER BY metric""".stripMargin
+}

@@ -59,6 +59,8 @@ object SparkEntry {
     "q41_streaming_rolling" -> (SourceStreamQueries.streamingRolling _),
     "q42_approx_nunique"    -> (CoreQueries.approxNunique _),
     "q43_csv_json"          -> (SourceStreamQueries.csvJsonSource _),
+    "q44_feature_profile"   -> (FeatureStatsQueries.featureProfile _),
+    "q45_drift_iv"          -> (FeatureStatsQueries.driftReport _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,5 +112,7 @@ object SparkEntry {
     // design); q42 is approximate by design → rows-only.
     "q41_streaming_rolling" -> SourceStreamQueries.streamingRollingSql,
     "q43_csv_json"          -> SourceStreamQueries.csvJsonSourceSql,
+    "q44_feature_profile"   -> FeatureStatsQueries.featureProfileSql,
+    "q45_drift_iv"          -> FeatureStatsQueries.driftReportSql,
   )
 }

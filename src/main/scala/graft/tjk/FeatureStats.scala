@@ -1,0 +1,156 @@
+package graft.tjk
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-analysis surface of the reference family (SURVEY.md §0.3: the
+  * tianjikit pipeline follows feature computation with missing-rate / KS /
+  * IV / PSI reports before modeling). The MODELING half stays out of scope
+  * (north_star scopes to the feature pipeline), but these reports are plain
+  * data-processing aggregations a user of the reference runs on every
+  * feature batch, so the engine exposes them as first-class, scale-shaped
+  * operators:
+  *
+  *  - every statistic reduces to grouped integer counts FIRST (one
+  *    map-side-combinable shuffle over the full data), with the
+  *    floating-point combination applied to the tiny aggregate — no global
+  *    sort or driver collect over raw rows anywhere;
+  *  - exact KS exploits the bounded/discretized value domain: per-value
+  *    counts (cardinality ≤ domain size) then a cumulative window over the
+  *    SMALL aggregate. For unbounded continuous features, bin first (the
+  *    same discipline every large-scale KS takes);
+  *  - moments of 2-decimal features fold EXACT integer cents
+  *    (CoreQueries.sumCents convention) so cross-engine results are
+  *    bit-identical, not merely allclose.
+  */
+object FeatureStats {
+
+  /** One numeric feature to profile: `expr` must yield a value with at most
+    * `decimals` decimal places (2 for currency-like, 0 for integer-valued) —
+    * that is what makes the integer-scaled moments EXACT.
+    */
+  case class NumFeature(name: String, expr: Column, decimals: Int) {
+    def scale: Long = math.pow(10, decimals.toDouble).toLong
+  }
+
+  /** Numeric profile: (feature, n, n_missing, missing_rate, mean, std) —
+    * one long-format row. Population std, derived from exact integer sums:
+    * sqrt(sumsq/n − (sum/n)²) — both engines compute it from identical
+    * integers, so the doubles agree bit-for-bit. Profile several features
+    * by unioning these rows ([[profileMissing]] for categoricals): each is
+    * one map-side-combinable aggregation; Catalyst shares the scan.
+    */
+  def profileNumeric(df: DataFrame, f: NumFeature): DataFrame = {
+    val vi = round(f.expr.cast("double") * f.scale).cast("long")
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(f.expr.isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(vi).as("sum_i"),
+        sum(vi * vi).as("sumsq_i"))
+      .select(
+        lit(f.name).as("feature"),
+        col("n"), col("n_missing"),
+        round(col("n_missing").cast("double") / col("n"), 6).as("missing_rate"),
+        round(col("sum_i") / lit(f.scale.toDouble) /
+          (col("n") - col("n_missing")), 6).as("mean"),
+        round(sqrt(
+          col("sumsq_i") / lit((f.scale * f.scale).toDouble) / (col("n") - col("n_missing")) -
+            pow(col("sum_i") / lit(f.scale.toDouble) / (col("n") - col("n_missing")), 2)),
+          6).as("std"))
+  }
+
+  /** Missingness of a (categorical) column, same long shape, null moments. */
+  def profileMissing(df: DataFrame, c: String): DataFrame =
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_missing"))
+      .select(lit(c).as("feature"), col("n"), col("n_missing"),
+        round(col("n_missing").cast("double") / col("n"), 6).as("missing_rate"),
+        lit(null).cast("double").as("mean"),
+        lit(null).cast("double").as("std"))
+
+  /** Fixed-width bin index 0..nBins-1 (top bin clamps) — deterministic and
+    * oracle-replicable, unlike quantile bins (approx_percentile is
+    * approximate and engine-specific).
+    */
+  def widthBin(c: Column, binWidth: Double, nBins: Int): Column =
+    least(floor(c / binWidth).cast("int"), lit(nBins - 1))
+
+  /** Population Stability Index between populations `a` (expected) and `b`
+    * (actual) over fixed-width bins of `valueCol`, with Laplace smoothing
+    * `eps` on the COUNTS (so empty bins are defined on both sides):
+    * PSI = Σ_bins (p_b − p_a) · ln(p_b / p_a). One grouped-count shuffle
+    * per side; the Σ runs over ≤ nBins rows.
+    */
+  def psi(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Double, nBins: Int, eps: Double = 0.5): DataFrame = {
+    def binned(df: DataFrame, side: String) = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(widthBin(col(valueCol), binWidth, nBins).as("bin"))
+      .agg(count(lit(1)).as(s"n_$side"))
+    val bins = a.sparkSession.range(nBins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    val joined = bins
+      .join(binned(a, "a"), Seq("bin"), "left")
+      .join(binned(b, "b"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("ta", sum(col("n_a")).over(Window.partitionBy()))
+      .withColumn("tb", sum(col("n_b")).over(Window.partitionBy()))
+      .select(((col("n_b") + eps) / (col("tb") + eps * nBins) -
+          (col("n_a") + eps) / (col("ta") + eps * nBins)).as("dp"),
+        log(((col("n_b") + eps) / (col("tb") + eps * nBins)) /
+          ((col("n_a") + eps) / (col("ta") + eps * nBins))).as("lr"))
+    joined.agg(round(sum(col("dp") * col("lr")), 6).as("psi"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic over a bounded-domain
+    * numeric column: max over observed values of |F_a − F_b|. Grouped
+    * counts per value first (cardinality ≤ the value domain), cumulative
+    * window over that SMALL aggregate only.
+    */
+  def ks(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def counts(df: DataFrame, side: String) = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as(s"n_$side"))
+    val merged = counts(a, "a").join(counts(b, "b"), Seq("v"), "full")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0L)
+    merged
+      .withColumn("ca", sum(col("n_a")).over(w))
+      .withColumn("cb", sum(col("n_b")).over(w))
+      .withColumn("ta", sum(col("n_a")).over(Window.partitionBy()))
+      .withColumn("tb", sum(col("n_b")).over(Window.partitionBy()))
+      .agg(round(max(abs(col("ca") / col("ta") - col("cb") / col("tb"))), 6)
+        .as("ks"))
+  }
+
+  /** Information Value of a binned numeric feature against a binary label,
+    * Laplace-smoothed: IV = Σ_bins (g_i − b_i) · ln(g_i / b_i) with
+    * g_i/b_i the smoothed shares of positive/negative rows in bin i.
+    */
+  def iv(
+      df: DataFrame, valueCol: String, labelCol: Column,
+      binWidth: Double, nBins: Int, eps: Double = 0.5): DataFrame = {
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(widthBin(col(valueCol), binWidth, nBins).as("bin"))
+      .agg(
+        sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(labelCol, 0L).otherwise(1L)).as("n_neg"))
+    val bins = df.sparkSession.range(nBins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    bins.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_pos", "n_neg"))
+      .withColumn("tp", sum(col("n_pos")).over(Window.partitionBy()))
+      .withColumn("tn", sum(col("n_neg")).over(Window.partitionBy()))
+      .select(((col("n_pos") + eps) / (col("tp") + eps * nBins) -
+          (col("n_neg") + eps) / (col("tn") + eps * nBins)).as("dg"),
+        log(((col("n_pos") + eps) / (col("tp") + eps * nBins)) /
+          ((col("n_neg") + eps) / (col("tn") + eps * nBins))).as("woe"))
+      .agg(round(sum(col("dg") * col("woe")), 6).as("iv"))
+  }
+}

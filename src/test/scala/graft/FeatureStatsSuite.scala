@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tjk._
+import graft.tjk.FeatureStats.NumFeature
+
+/** Hand-computed fixtures for the feature-analysis ops — independent of the
+  * DuckDB oracle (SURVEY.md §5 layer 1).
+  */
+class FeatureStatsSuite extends SparkTestBase {
+
+  private lazy val df = {
+    val spark2 = spark
+    import spark2.implicits._
+    // values chosen 2-decimal; one null; label = flag
+    Seq(
+      (1.00, "a", true), (2.00, null, false), (3.00, "b", true),
+      (4.00, null, false), (Double.NaN, null, false) // NaN row replaced below
+    ).toDF("value", "tool", "flag")
+      .withColumn("value",
+        when(isnan(col("value")), lit(null).cast("double"))
+          .otherwise(col("value")))
+  }
+
+  test("profileNumeric: exact moments with a null present") {
+    val r = FeatureStats.profileNumeric(df, NumFeature("value", col("value"), 2))
+      .collect()(0)
+    assert(r.getString(0) == "value")
+    assert(r.getLong(1) == 5 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 0.2) // 1/5
+    assert(r.getDouble(4) == 2.5) // mean of 1..4
+    // population std of {1,2,3,4} = sqrt(1.25)
+    assert(math.abs(r.getDouble(5) - math.sqrt(1.25)) < 1e-6)
+  }
+
+  test("profileMissing: categorical missingness") {
+    val r = FeatureStats.profileMissing(df, "tool").collect()(0)
+    assert(r.getString(0) == "tool" && r.getLong(1) == 5 && r.getLong(2) == 3)
+    assert(r.getDouble(3) == 0.6)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("ks: exact two-sample statistic on a known pair") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("value")
+    // F_a - F_b maximal at v=2: |2/4 - 0/4| = 0.5
+    val ks = FeatureStats.ks(a, b, "value").collect()(0).getDouble(0)
+    assert(ks == 0.5, s"ks=$ks")
+  }
+
+  test("psi: identical populations give ~0; shifted give > 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = (1 to 100).map(i => (i % 10) * 10.0 + 1).toDF("value")
+    val zero = FeatureStats.psi(a, a, "value", 10.0, 10)
+      .collect()(0).getDouble(0)
+    assert(zero == 0.0, s"psi(identical)=$zero")
+    val b = (1 to 100).map(i => (i % 5) * 10.0 + 1).toDF("value")
+    val drift = FeatureStats.psi(a, b, "value", 10.0, 10)
+      .collect()(0).getDouble(0)
+    assert(drift > 0.5, s"psi(shifted)=$drift")
+  }
+
+  test("iv: informative feature scores higher than a non-informative one") {
+    val spark2 = spark
+    import spark2.implicits._
+    // label perfectly separated by value bin vs label independent of value
+    val sep = (1 to 200).map(i => (if (i <= 100) 5.0 else 95.0, i <= 100))
+      .toDF("value", "y")
+    val ivSep = FeatureStats.iv(sep, "value", col("y"), 10.0, 10)
+      .collect()(0).getDouble(0)
+    val indep = (1 to 200).map(i => (if (i % 2 == 0) 5.0 else 95.0, i <= 100))
+      .toDF("value", "y")
+    val ivIndep = FeatureStats.iv(indep, "value", col("y"), 10.0, 10)
+      .collect()(0).getDouble(0)
+    assert(ivSep > 5.0, s"separated IV=$ivSep") // near-perfect separation
+    assert(ivIndep < 0.01, s"independent IV=$ivIndep")
+    assert(ivSep > ivIndep * 100)
+  }
+}
