@@ -14,6 +14,113 @@ import graft.tjk._
 object SourceStreamQueries {
 
   private val H1micros = 3600L * 1000000L
+  private val SentinelConv = "~~watermark~~"
+
+  /** An out-of-order replay staged on disk: `slices` whole-time-range hash
+    * slices as one file each plus two watermark-sentinel files, mtimes
+    * forcing arrival order (slices first, sentinels last). `staged` reads
+    * the slice files only — sentinel rows never enter the fed-row
+    * accounting.
+    */
+  private case class Replay(
+      inDir: java.io.File, staged: DataFrame, minTs: Long, maxTs: Long, delaySec: Long)
+
+  /** Stage `feed` (schema: conv_id, turn_idx, ts, value) for replay. ONE
+    * pass over the (window-bearing) transcript view: all slices written by
+    * a single partitionBy job, then moved into place — per-slice filtered
+    * writes would recompute the view per slice. The watermark delay is
+    * wider than the data's time span, so every row is out-of-order-
+    * admissible; the sentinels then advance the watermark past all real
+    * rows (first sentinel) and trigger the batch in which the final state
+    * flushes (second sentinel).
+    */
+  private def stageReplay(
+      spark: SparkSession, feed: DataFrame, tmp: String, slices: Int): Replay = {
+    import spark.implicits._
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    val stage = new java.io.File(tmp, "stage")
+    feed
+      .withColumn("__slice",
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(slices)))
+      .repartition(1)
+      .write.partitionBy("__slice").mode("overwrite").parquet(stage.getPath)
+    val slicePaths = (0 until slices).flatMap { s =>
+      // an empty hash-slice writes no partition dir — legitimate at tiny
+      // scale factors; the stream simply gets fewer files
+      val dir = new java.io.File(stage, s"__slice=$s")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.endsWith(".parquet")).map { p =>
+          val dst = new java.io.File(inDir, f"slice_$s%02d.parquet")
+          require(p.renameTo(dst), s"stage move failed for slice $s")
+          dst.setLastModified(1000000000000L + s * 10000L)
+          dst.getPath
+        }
+    }
+    require(slicePaths.nonEmpty, "replay: the feed selected no rows")
+    val staged = spark.read.parquet(slicePaths: _*)
+    val mm = staged
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0)
+    require(!mm.isNullAt(0) && !mm.isNullAt(1),
+      "replay: feed has no non-null timestamps")
+    val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
+    val delaySec = (maxTs - minTs) / 1000000L + 1L + 60L
+    Seq(0, 1).foreach { k =>
+      val sentTs = new java.sql.Timestamp(
+        (maxTs + (delaySec + 3600L * (k + 1)) * 1000000L) / 1000L)
+      val sStage = new java.io.File(tmp, s"stage_sent_$k")
+      Seq((SentinelConv, k, sentTs, 0.0))
+        .toDF("conv_id", "turn_idx", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(sStage.getPath)
+      val part = sStage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, s"zz_sentinel_$k.parquet")
+      require(part.renameTo(dst), "sentinel move failed")
+      dst.setLastModified(1000000000000L + (slices + k) * 10000L)
+    }
+    Replay(inDir, staged, minTs, maxTs, delaySec)
+  }
+
+  /** Run a streaming transform over the replay into a memory sink; returns
+    * the sink table name (caller drops the temp view after collecting).
+    * Stateful micro-batches pay a fixed cost PER STATE-STORE PARTITION PER
+    * BATCH (store init/commit/snapshot); at the bench session's 32 shuffle
+    * partitions × ~7 batches that fixed cost dwarfs the data, so the state
+    * partition count — locked in at query start from the conf — is scoped
+    * down for the stream and restored after. (On a real cluster the same
+    * knob is simply sized to the stream's key cardinality rather than the
+    * batch session default.)
+    */
+  private def runToMemorySink(
+      spark: SparkSession, r: Replay, tmp: String, label: String)(
+      build: DataFrame => DataFrame): String = {
+    val stream = spark.readStream
+      .schema(r.staged.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(r.inDir.getPath)
+    val out = build(stream)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val sinkName = s"tjk_${label}_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val prog = q.recentProgress
+      System.err.println(s"[$label] ${prog.length} batches: " +
+        prog.map(p => s"${p.batchId}:${p.batchDuration}ms").mkString(" "))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    sinkName
+  }
+
+  private def rmRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+    f.delete()
+  }
 
   /** q41 — the incremental rolling-feature stream
     * ([[Streaming.rollingStream]], watermark-delayed finalization) driven
@@ -36,11 +143,6 @@ object SourceStreamQueries {
     */
   def streamingRolling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var t0 = System.nanoTime()
-    def phase(name: String): Unit = {
-      System.err.println(f"[q41] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      t0 = System.nanoTime()
-    }
     val tmp = java.nio.file.Files.createTempDirectory("tjk_q41_stream")
       .toFile.getAbsolutePath
     try {
@@ -52,97 +154,16 @@ object SourceStreamQueries {
           col("value").isNotNull)
         .select(col("conv_id"), col("turn_idx"),
           col("ts").cast("timestamp").as("ts"), col("value").cast("double").as("value"))
-
-      // 3 hash-slices, one file each, mtimes forcing slice order. ONE pass
-      // over the (window-bearing) transcript view: stage all slices with a
-      // single partitionBy write, then move each slice's file into place —
-      // per-slice filtered writes would recompute the view per slice.
-      val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
-      val slices = 3
-      val stage = new java.io.File(tmp, "stage")
-      feed
-        .withColumn("__slice",
-          pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(slices)))
-        .repartition(1)
-        .write.partitionBy("__slice").mode("overwrite").parquet(stage.getPath)
-      val slicePaths = (0 until slices).flatMap { s =>
-        // an empty hash-slice writes no partition dir — legitimate at tiny
-        // scale factors; the stream simply gets fewer files
-        val dir = new java.io.File(stage, s"__slice=$s")
-        val part = Option(dir.listFiles()).getOrElse(Array.empty)
-          .find(_.getName.endsWith(".parquet"))
-        part.map { p =>
-          val dst = new java.io.File(inDir, f"slice_$s%02d.parquet")
-          require(p.renameTo(dst), s"stage move failed for slice $s")
-          dst.setLastModified(1000000000000L + s * 10000L)
-          dst.getPath
-        }
-      }
-      require(slicePaths.nonEmpty,
-        s"q41: the md5-band subset of $dir selected no rows — empty feed")
-      // explicit slice paths: the sentinel files land in inDir later and
-      // must never leak into the fed-row accounting
-      val staged = spark.read.parquet(slicePaths: _*)
-      val mm = staged
-        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-        .collect()(0)
-      require(!mm.isNullAt(0) && !mm.isNullAt(1),
-        s"q41: feed has no non-null timestamps in $dir")
-      val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
-      val spanSec = (maxTs - minTs) / 1000000L + 1L
-      val delaySec = spanSec + 60L
-      phase("staging")
-      // Sentinel heartbeats: past every real row + the watermark delay, on
-      // a reserved conv_id (filtered from output). Written LAST (mtime).
-      Seq(0, 1).foreach { k =>
-        val sentTs = new java.sql.Timestamp((maxTs + (delaySec + 3600L * (k + 1)) * 1000000L) / 1000L)
-        val stage = new java.io.File(tmp, s"stage_sent_$k")
-        Seq(("~~watermark~~", k, sentTs, 0.0))
-          .toDF("conv_id", "turn_idx", "ts", "value")
-          .coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, s"zz_sentinel_$k.parquet")
-        require(part.renameTo(dst), "sentinel move failed")
-        dst.setLastModified(1000000000000L + (slices + k) * 10000L)
-      }
-
-      val stream = spark.readStream
-        .schema(feed.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir.getPath)
-      val features = Streaming.rollingStream(stream, H1micros, s"$delaySec seconds")
-      // Stateful micro-batches pay a fixed cost PER STATE-STORE PARTITION
-      // PER BATCH (store init/commit/snapshot); at the bench session's 32
-      // shuffle partitions × ~7 batches that fixed cost dwarfs the data.
-      // State partition count is locked in at query start from this conf —
-      // scope it down for the stream, restore for everything after. (On a
-      // real cluster the same knob is simply sized to the stream's key
-      // cardinality rather than the batch session default.)
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val sinkName = s"tjk_q41_${java.util.UUID.randomUUID().toString.take(8)}"
-      try {
-        val q = features.writeStream
-          .format("memory")
-          .queryName(sinkName)
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .outputMode("append")
-          .start()
-        q.processAllAvailable()
-        q.stop()
-        val prog = q.recentProgress
-        System.err.println(s"[q41] ${prog.length} batches: " +
-          prog.map(p => s"${p.batchId}:${p.batchDuration}ms").mkString(" "))
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      phase("stream")
+      val r = stageReplay(spark, feed, tmp, slices = 3)
+      val sinkName = runToMemorySink(spark, r, tmp, "q41")(
+        Streaming.rollingStream(_, H1micros, s"${r.delaySec} seconds").toDF())
 
       // Fold per conversation (small), drop sentinels, and check in-query
       // that NOTHING stayed buffered: the streamed row count must equal the
       // fed row count — a silent shortfall here is exactly the bug class
       // watermark finalization can hide.
-      val streamed = spark.table(sinkName)
-        .where(col("conv_id") =!= "~~watermark~~")
-      val rows = streamed
+      val rows = spark.table(sinkName)
+        .where(col("conv_id") =!= SentinelConv)
         .groupBy("conv_id")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("count_w")).as("sum_cnt"),
@@ -156,7 +177,7 @@ object SourceStreamQueries {
         .orderBy("conv_id")
         .collect()
       spark.catalog.dropTempView(sinkName) // free the memory sink's rows
-      val fed = staged.count()
+      val fed = r.staged.count()
       val emitted = rows.map(_.getLong(1)).sum
       require(emitted == fed,
         s"stream emitted $emitted of $fed fed rows — watermark finalization lost data")
@@ -164,14 +185,83 @@ object SourceStreamQueries {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
         .toDF("conv_id", "n_rows", "sum_cnt", "sum_sum", "max_cnt")
         .orderBy("conv_id")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(tmp))
-    }
+    } finally rmRec(new java.io.File(tmp))
   }
+
+  /** q46 — the OTHER streaming mode driver-visible: `session_window`
+    * sessionization with watermarked state ([[Streaming.sessionAggStream]])
+    * over the same out-of-order replay shape as q41 (a different md5 band).
+    * Late in-watermark rows must MERGE into (or bridge) open sessions
+    * regardless of arrival order; the sentinels advance the watermark past
+    * every session's close (end + gap), so all real sessions finalize and
+    * the batch sessionization SQL is the oracle. In-query law: emitted
+    * per-session turn counts must sum to the fed row count.
+    */
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tjk_q46_stream")
+      .toFile.getAbsolutePath
+    try {
+      val feed = Tables.transcripts(spark, dir)
+        .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8)) === 2)
+        .select(col("conv_id"), col("turn_idx"),
+          col("ts").cast("timestamp").as("ts"),
+          coalesce(col("value").cast("double"), lit(0.0)).as("value"))
+      val r = stageReplay(spark, feed, tmp, slices = 3)
+      val sinkName = runToMemorySink(spark, r, tmp, "q46")(
+        Streaming.sessionAggStream(_, "conv_id", "ts", "30 minutes",
+          s"${r.delaySec} seconds"))
+      val rows = spark.table(sinkName)
+        .where(col("conv_id") =!= SentinelConv)
+        .select(col("conv_id"), col("session_start"), col("session_end"),
+          col("n_turns"))
+        .orderBy("conv_id", "session_start")
+        .collect()
+      spark.catalog.dropTempView(sinkName)
+      val fed = r.staged.count()
+      val emitted = rows.map(_.getLong(3)).sum
+      require(emitted == fed,
+        s"session stream covered $emitted of $fed fed rows — lost or unflushed sessions")
+      rows.toSeq
+        .map(x => (x.getString(0), x.getTimestamp(1), x.getTimestamp(2), x.getLong(3)))
+        .toDF("conv_id", "session_start", "session_end", "n_turns")
+        // back to NTZ for the dump: the stream ran on UTC-pinned TIMESTAMP
+        // (watermarks need it), the testdata and the oracle are NTZ — in a
+        // UTC session the cast is a pure reinterpretation
+        .select(col("conv_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_turns"))
+        .orderBy("conv_id", "session_start")
+    } finally rmRec(new java.io.File(tmp))
+  }
+
+  /** q46 oracle: the q10 session-aggregate SQL on the same md5 band. The
+    * session_window form has no session_id; identity = (conv_id, start).
+    * NOTE the ts type: the stream ran on `timestamp` (UTC-pinned cast from
+    * the parquet NTZ), so the oracle casts its min/max the same way the
+    * dump stores them.
+    */
+  val streamingSessionsSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |tq AS (SELECT * FROM t WHERE ascii(substring(md5(conv_id), 32, 1)) % 8 = 2),
+       |f AS (
+       |  SELECT conv_id, turn_idx, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+       |         THEN 1 ELSE 0 END AS flag
+       |  FROM tq WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+       |),
+       |s AS (
+       |  SELECT conv_id, ts,
+       |    CAST(sum(flag) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM f
+       |)
+       |SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end,
+       |       count(*) AS n_turns
+       |FROM s GROUP BY conv_id, session_seq
+       |ORDER BY conv_id, session_start""".stripMargin
 
   val streamingRollingSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},

@@ -61,6 +61,7 @@ object SparkEntry {
     "q43_csv_json"          -> (SourceStreamQueries.csvJsonSource _),
     "q44_feature_profile"   -> (FeatureStatsQueries.featureProfile _),
     "q45_drift_iv"          -> (FeatureStatsQueries.driftReport _),
+    "q46_streaming_sessions"-> (SourceStreamQueries.streamingSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -114,5 +115,6 @@ object SparkEntry {
     "q43_csv_json"          -> SourceStreamQueries.csvJsonSourceSql,
     "q44_feature_profile"   -> FeatureStatsQueries.featureProfileSql,
     "q45_drift_iv"          -> FeatureStatsQueries.driftReportSql,
+    "q46_streaming_sessions"-> SourceStreamQueries.streamingSessionsSql,
   )
 }
