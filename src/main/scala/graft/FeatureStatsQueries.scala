@@ -20,7 +20,11 @@ object FeatureStatsQueries {
     * `value` and the integer `len_text`, missingness for `tool`.
     */
   def featureProfile(spark: SparkSession, dir: String): DataFrame = {
+    // the three profile branches are independent aggregations under a
+    // union — persist the view once instead of scanning+re-windowing it 3x
     val base = Tables.transcripts(spark, dir)
+      .select("conv_id", "value", "text", "tool")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     FeatureStats.profileNumeric(base, NumFeature("value", col("value"), 2))
       .unionByName(FeatureStats.profileNumeric(
         base, NumFeature("len_text", length(col("text")), 0)))
@@ -61,11 +65,15 @@ object FeatureStatsQueries {
     * unlike approximate quantiles), Laplace smoothing on counts.
     */
   def driftReport(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.transcripts(spark, dir)
-    val split = Split.timeSplit(base, "ts", Boundary)
+    // ONE scan of the (window-bearing) transcript view: iv/ks/psi each
+    // consume it 1-2x (5 subtrees total) — persist the labeled view once
+    // (LRU-evictable; spills at scale), same branch-point discipline as the
+    // similarity pipelines.
+    val split = Split.timeSplit(Tables.transcripts(spark, dir), "ts", Boundary)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = split.where(col("split") === "train")
     val test = split.where(col("split") === "test")
-    FeatureStats.iv(base, "value", col("role") === "purchase", BinW, NBins)
+    FeatureStats.iv(split, "value", col("role") === "purchase", BinW, NBins)
       .select(lit("iv_value").as("metric"), col("iv").as("stat"))
       .unionByName(FeatureStats.ks(train, test, "value")
         .select(lit("ks_value").as("metric"), col("ks").as("stat")))
@@ -79,8 +87,8 @@ object FeatureStatsQueries {
        |tr AS (SELECT value FROM t WHERE ts < TIMESTAMP '$Boundary' AND value IS NOT NULL),
        |te AS (SELECT value FROM t WHERE ts >= TIMESTAMP '$Boundary' AND value IS NOT NULL),
        |bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x)),
-       |pa AS (SELECT least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}) AS bin, count(*) AS na FROM tr GROUP BY 1),
-       |pb AS (SELECT least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}) AS bin, count(*) AS nb FROM te GROUP BY 1),
+       |pa AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin, count(*) AS na FROM tr GROUP BY 1),
+       |pb AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin, count(*) AS nb FROM te GROUP BY 1),
        |pj AS (SELECT bins.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
        |       FROM bins LEFT JOIN pa USING (bin) LEFT JOIN pb USING (bin)),
        |pt AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pj),
@@ -98,7 +106,7 @@ object FeatureStatsQueries {
        |ks AS (SELECT round(max(abs(CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)), 6) AS stat FROM kc),
        |lab AS (SELECT value, CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS y
        |        FROM t WHERE value IS NOT NULL),
-       |ig AS (SELECT least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}) AS bin,
+       |ig AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin,
        |              sum(y) AS np, sum(1-y) AS nn FROM lab GROUP BY 1),
        |ij AS (SELECT bins.bin, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
        |       FROM bins LEFT JOIN ig USING (bin)),

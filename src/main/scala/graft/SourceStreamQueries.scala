@@ -23,7 +23,7 @@ object SourceStreamQueries {
     * accounting.
     */
   private case class Replay(
-      inDir: java.io.File, staged: DataFrame, minTs: Long, maxTs: Long, delaySec: Long)
+      inDir: java.io.File, staged: DataFrame, delaySec: Long)
 
   /** Stage `feed` (schema: conv_id, turn_idx, ts, value) for replay. ONE
     * pass over the (window-bearing) transcript view: all slices written by
@@ -77,7 +77,7 @@ object SourceStreamQueries {
       require(part.renameTo(dst), "sentinel move failed")
       dst.setLastModified(1000000000000L + (slices + k) * 10000L)
     }
-    Replay(inDir, staged, minTs, maxTs, delaySec)
+    Replay(inDir, staged, delaySec)
   }
 
   /** Run a streaming transform over the replay into a memory sink; returns
@@ -108,8 +108,10 @@ object SourceStreamQueries {
         .option("checkpointLocation", s"$tmp/ckpt")
         .outputMode("append")
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable()
+      // stop on EVERY path: the caller's cleanup deletes the input and
+      // checkpoint dirs, which must never happen under a live stream
+      finally q.stop()
       val prog = q.recentProgress
       System.err.println(s"[$label] ${prog.length} batches: " +
         prog.map(p => s"${p.batchId}:${p.batchDuration}ms").mkString(" "))
@@ -328,13 +330,7 @@ object SourceStreamQueries {
           r.getLong(4)))
         .toDF("conv_id", "session_id", "session_start", "session_end", "n_turns")
         .orderBy("conv_id", "session_id")
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(tmp))
-    }
+    } finally rmRec(new java.io.File(tmp))
   }
 
   /** q43 oracle: q10's session-aggregate SQL restricted to the same

@@ -39,7 +39,8 @@ object FeatureStats {
     * sqrt(sumsq/n − (sum/n)²) — both engines compute it from identical
     * integers, so the doubles agree bit-for-bit. Profile several features
     * by unioning these rows ([[profileMissing]] for categoricals): each is
-    * one map-side-combinable aggregation; Catalyst shares the scan.
+    * one map-side-combinable aggregation, but union BRANCHES do not share a
+    * scan — persist the source once when profiling many features.
     */
   def profileNumeric(df: DataFrame, f: NumFeature): DataFrame = {
     val vi = round(f.expr.cast("double") * f.scale).cast("long")
@@ -70,12 +71,14 @@ object FeatureStats {
         lit(null).cast("double").as("mean"),
         lit(null).cast("double").as("std"))
 
-  /** Fixed-width bin index 0..nBins-1 (top bin clamps) — deterministic and
-    * oracle-replicable, unlike quantile bins (approx_percentile is
-    * approximate and engine-specific).
+  /** Fixed-width bin index 0..nBins-1, clamping at BOTH edges (values below
+    * 0 land in bin 0, values past the range in the top bin) — out-of-range
+    * rows must shift the distribution's edge mass, never silently vanish
+    * from the counts. Deterministic and oracle-replicable, unlike quantile
+    * bins (approx_percentile is approximate and engine-specific).
     */
   def widthBin(c: Column, binWidth: Double, nBins: Int): Column =
-    least(floor(c / binWidth).cast("int"), lit(nBins - 1))
+    greatest(least(floor(c / binWidth).cast("int"), lit(nBins - 1)), lit(0))
 
   /** Population Stability Index between populations `a` (expected) and `b`
     * (actual) over fixed-width bins of `valueCol`, with Laplace smoothing
