@@ -63,6 +63,30 @@ class FeatureStatsSuite extends SparkTestBase {
     assert(drift > 0.5, s"psi(shifted)=$drift")
   }
 
+  test("reports are partition-invariant (the integer-first discipline holds)") {
+    // The whole design claim of FeatureStats: floating-point combination
+    // happens only on the tiny aggregate of exact integer counts, so the
+    // parallelism/partitioning of the raw data cannot move the result even
+    // in the last bit (no round-tolerance needed).
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map { i =>
+      (math.floor(rnd.nextDouble() * 49000) / 100.0, rnd.nextBoolean())
+    }
+    val df = rows.toDF("value", "y")
+    def all(d: org.apache.spark.sql.DataFrame): Seq[Any] = {
+      val half = d.where(col("y"))
+      val other = d.where(!col("y"))
+      Seq(
+        FeatureStats.profileNumeric(d, NumFeature("value", col("value"), 2)).collect()(0).toSeq,
+        FeatureStats.psi(half, other, "value", 50.0, 10).collect()(0).toSeq,
+        FeatureStats.ks(half, other, "value").collect()(0).toSeq,
+        FeatureStats.iv(d, "value", col("y"), 50.0, 10).collect()(0).toSeq)
+    }
+    assert(all(df.repartition(1)) == all(df.repartition(13)))
+  }
+
   test("iv: informative feature scores higher than a non-informative one") {
     val spark2 = spark
     import spark2.implicits._
