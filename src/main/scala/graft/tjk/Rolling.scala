@@ -124,14 +124,20 @@ object Rolling {
     // for any non-degenerate encoding (and a wrong skip only loses the
     // guard, never correctness).
     if (sizeKnown && stats.sizeInBytes < BigInt(threshold)) return Nil
-    val sample = sizeKnown && stats.sizeInBytes > BigInt(64L << 20)
+    // Sampling is only statistically sound when a true whale is expected to
+    // appear many times in the sample: threshold·fraction ≥ 30 keeps the
+    // miss probability negligible (Chernoff at 0.3× the expectation). For
+    // smaller thresholds the exact count runs instead — same plan shape,
+    // just no Sample node.
+    val frac = 0.01
+    val sample = sizeKnown && stats.sizeInBytes > BigInt(64L << 20) &&
+      threshold * frac >= 30.0
     val keys = df.select(col(entity))
     val (src, cutoff) =
-      if (sample) {
-        val frac = 0.01
+      if (sample)
         (keys.sample(withReplacement = false, frac, seed = 42L),
           math.max(2L, (threshold * frac * 0.3).toLong))
-      } else (keys, threshold + 1L)
+      else (keys, threshold + 1L)
     val rows = src
       .groupBy(col(entity)).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= cutoff)
