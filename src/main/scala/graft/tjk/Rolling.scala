@@ -128,9 +128,12 @@ object Rolling {
     // appear many times in the sample: threshold·fraction ≥ 30 keeps the
     // miss probability negligible (Chernoff at 0.3× the expectation). For
     // smaller thresholds the exact count runs instead — same plan shape,
-    // just no Sample node.
+    // just no Sample node. The size floor is a conf so the sampled branch
+    // is suite-testable without a 64 MB fixture.
     val frac = 0.01
-    val sample = sizeKnown && stats.sizeInBytes > BigInt(64L << 20) &&
+    val sampleMinBytes = df.sparkSession.conf
+      .get("spark.graft.rolling.detect.sampleMinBytes", (64L << 20).toString).toLong
+    val sample = sizeKnown && stats.sizeInBytes > BigInt(sampleMinBytes) &&
       threshold * frac >= 30.0
     val keys = df.select(col(entity))
     val (src, cutoff) =

@@ -97,6 +97,22 @@ class SkewSuite extends SparkTestBase {
     assert(guarded == plain)
   }
 
+  test("SAMPLED detection finds the whale (the >64MB production branch)") {
+    // The sampled branch normally needs a 64 MB input; lower the size floor
+    // so the suite drives the same code path: 100k-row whale + 5k-row tail,
+    // threshold 10000 (threshold·frac = 100 ≥ 30 ⇒ sampling sound).
+    val whale = spark.range(100000L).select(
+        lit("w").as("conv_id"), col("id").cast("int").as("turn_idx"))
+      .unionByName(spark.range(5000L).select(
+        concat(lit("c"), (col("id") % 500).cast("string")).as("conv_id"),
+        col("id").cast("int").as("turn_idx")))
+    spark.conf.set("spark.graft.rolling.detect.sampleMinBytes", "1000")
+    try {
+      val hot = Rolling.detectHotKeys(whale, "conv_id", 10000L)
+      assert(hot == Seq("w"), s"sampled detection returned $hot")
+    } finally spark.conf.unset("spark.graft.rolling.detect.sampleMinBytes")
+  }
+
   test("default path survives a whale entity (10⁶ rows, 24h frame)") {
     // One conversation, a million turns, every row inside one 24h window
     // span: the Window path would recompute an up-to-10⁶-element frame per
