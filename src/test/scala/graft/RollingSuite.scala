@@ -5,6 +5,27 @@ import graft.tjk._
 
 class RollingSuite extends SparkTestBase {
 
+  test("WindowNUnique as a GROUPED aggregate == count_distinct (serialize/merge path)") {
+    // Window frames never serialize the typed-imperative buffer; a grouped
+    // aggregation's partial/final exchange does — pin that whole path
+    // (update → serialize → exchange → deserialize → merge → eval) against
+    // the builtin, across partitions and with nulls present.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    graft.tjk.expressions.NativeFunctions.register(spark)
+    val df = (0 until 1000)
+      .map(i => (s"g${i % 7}", if (i % 11 == 0) null else s"v${i % 37}"))
+      .toDF("g", "v").repartition(9)
+    val got = df.groupBy("g")
+      .agg(call_function("tjk_window_nunique", col("v")).as("nu"),
+        count_distinct(col("v")).as("cd"))
+      .collect()
+    assert(got.length == 7)
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"group ${r.getString(0)}: ${r.getLong(1)} vs ${r.getLong(2)}"))
+  }
+
   private val H1 = java.time.Duration.ofHours(1)
   private val W = H1.toMillis * 1000L
 

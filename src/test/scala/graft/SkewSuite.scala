@@ -97,6 +97,28 @@ class SkewSuite extends SparkTestBase {
     assert(guarded == plain)
   }
 
+  test("guard routing keeps NULL-entity rows (cold branch), loses nothing") {
+    // isin(null) is NULL, not false: without the coalesce in the router,
+    // null-entity rows would vanish from BOTH branches. They must appear in
+    // the output exactly once, with window values computed over the
+    // null-entity group (Window.partitionBy groups nulls together).
+    val spark2 = spark
+    import spark2.implicits._
+    val rows =
+      (0 until 40).map(i => (if (i < 30) "hot" else null, i,
+        new java.sql.Timestamp(1700000000000L + i * 1000L), i.toDouble))
+    val df = rows.toDF("conv_id", "turn_idx", "ts", "value")
+    val out = Rolling.rollingAgg(df, "conv_id", "ts",
+        Seq(RollingSpec("value", Agg.Count, Duration.ofHours(1))),
+        SkewPolicy.Guarded(10L))
+    assert(out.count() == 40L)
+    val nulls = out.where(col("conv_id").isNull)
+      .orderBy("turn_idx").collect()
+    assert(nulls.length == 10)
+    // 10 null rows, 1s apart, 1h frame: trailing counts 1..10
+    assert(nulls.map(_.getLong(4)).toSeq == (1L to 10L))
+  }
+
   test("SAMPLED detection finds the whale (the >64MB production branch)") {
     // The sampled branch normally needs a 64 MB input; lower the size floor
     // so the suite drives the same code path: 100k-row whale + 5k-row tail,
