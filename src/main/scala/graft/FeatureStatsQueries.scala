@@ -82,6 +82,42 @@ object FeatureStatsQueries {
       .orderBy("metric")
   }
 
+  /** q47 — the composition the whole engine exists for: a feature COMPUTED
+    * by the pipeline (trailing 1h count from [[Rolling.rollingAgg]], the
+    * q01 operator) fed straight into the analysis surface (IV against the
+    * is-purchase label). The oracle replicates both halves — window SQL
+    * into the binned-IV SQL — so the check spans operator + report
+    * end-to-end. Bin width 1 over 0..9: the feature is a small count.
+    */
+  def featureIv(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Rolling.rollingAgg(Tables.transcripts(spark, dir),
+      "conv_id", "ts", Seq(RollingSpec("value", Agg.Count, java.time.Duration.ofHours(1))))
+    FeatureStats.iv(feats, "count_value_3600s",
+        col("role") === "purchase", binWidth = 1.0, nBins = NBins)
+      .select(lit("iv_count_1h").as("metric"), col("iv").as("stat"))
+  }
+
+  val featureIvSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |f AS (
+       |  SELECT role, count(value) OVER w AS cnt
+       |  FROM t
+       |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts
+       |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       |),
+       |bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x)),
+       |lab AS (SELECT cnt, CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS y
+       |        FROM f WHERE cnt IS NOT NULL),
+       |ig AS (SELECT greatest(least(CAST(floor(cnt/1.0) AS INTEGER), ${NBins - 1}), 0) AS bin,
+       |              sum(y) AS np, sum(1-y) AS nn FROM lab GROUP BY 1),
+       |ij AS (SELECT bins.bin, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
+       |       FROM bins LEFT JOIN ig USING (bin)),
+       |it AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM ij)
+       |SELECT 'iv_count_1h' AS metric,
+       |       round(sum(((np+0.5)/(tp+5.0) - (nn+0.5)/(tn+5.0)) *
+       |                 ln(((np+0.5)/(tp+5.0)) / ((nn+0.5)/(tn+5.0)))), 6) AS stat
+       |FROM ij, it""".stripMargin
+
   val driftReportSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},
        |tr AS (SELECT value FROM t WHERE ts < TIMESTAMP '$Boundary' AND value IS NOT NULL),

@@ -62,6 +62,7 @@ object SparkEntry {
     "q44_feature_profile"   -> (FeatureStatsQueries.featureProfile _),
     "q45_drift_iv"          -> (FeatureStatsQueries.driftReport _),
     "q46_streaming_sessions"-> (SourceStreamQueries.streamingSessions _),
+    "q47_feature_iv"        -> (FeatureStatsQueries.featureIv _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,5 +117,6 @@ object SparkEntry {
     "q44_feature_profile"   -> FeatureStatsQueries.featureProfileSql,
     "q45_drift_iv"          -> FeatureStatsQueries.driftReportSql,
     "q46_streaming_sessions"-> SourceStreamQueries.streamingSessionsSql,
+    "q47_feature_iv"        -> FeatureStatsQueries.featureIvSql,
   )
 }
