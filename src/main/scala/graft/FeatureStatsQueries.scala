@@ -21,28 +21,48 @@ object FeatureStatsQueries {
     */
   def featureProfile(spark: SparkSession, dir: String): DataFrame = {
     // the three profile branches are independent aggregations under a
-    // union — persist the view once instead of scanning+re-windowing it 3x
+    // union — persist the view once instead of scanning+re-windowing it 3x,
+    // and UNPERSIST once the 3-row report is materialized (ADVICE r3
+    // item 4: a leaked cache lives until spark.stop in a shared session,
+    // pressuring the LRU store under later queries)
     val base = Tables.transcripts(spark, dir)
       .select("conv_id", "value", "text", "tool")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    FeatureStats.profileNumeric(base, NumFeature("value", col("value"), 2))
-      .unionByName(FeatureStats.profileNumeric(
-        base, NumFeature("len_text", length(col("text")), 0)))
-      .unionByName(FeatureStats.profileMissing(base, "tool"))
-      .orderBy("feature")
+    try {
+      val report = FeatureStats
+        .profileNumeric(base, NumFeature("value", col("value"), 2))
+        .unionByName(FeatureStats.profileNumeric(
+          base, NumFeature("len_text", length(col("text")), 0)))
+        .unionByName(FeatureStats.profileMissing(base, "tool"))
+        .orderBy("feature")
+      localized(spark, report).orderBy("feature")
+    } finally base.unpersist()
+  }
+
+  /** Collect a tiny report into a local-relation DataFrame so its cached
+    * inputs can be unpersisted before returning (the driver contract hands
+    * back a DataFrame whose evaluation must not depend on a cache this
+    * method is about to release).
+    */
+  private def localized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   val featureProfileSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},
-       |v AS (SELECT count(*) n, sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) nm,
+       |v AS (SELECT count(*) n,
+       |             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) nm,
        |             sum(CAST(round(value*100) AS BIGINT)) si,
        |             sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT)) sq
        |      FROM t),
-       |l AS (SELECT count(*) n, sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) nm,
+       |l AS (SELECT count(*) n,
+       |             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) nm,
        |             sum(CAST(length(text) AS BIGINT)) si,
        |             sum(CAST(length(text) AS BIGINT)*CAST(length(text) AS BIGINT)) sq
        |      FROM t),
-       |m AS (SELECT count(*) n, sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) nm FROM t)
+       |m AS (SELECT count(*) n,
+       |             CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) nm FROM t)
        |SELECT 'len_text' AS feature, n, nm AS n_missing,
        |  round(CAST(nm AS DOUBLE)/n, 6) AS missing_rate,
        |  round(si/1.0/(n-nm), 6) AS mean,
@@ -71,15 +91,19 @@ object FeatureStatsQueries {
     // similarity pipelines.
     val split = Split.timeSplit(Tables.transcripts(spark, dir), "ts", Boundary)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val train = split.where(col("split") === "train")
-    val test = split.where(col("split") === "test")
-    FeatureStats.iv(split, "value", col("role") === "purchase", BinW, NBins)
-      .select(lit("iv_value").as("metric"), col("iv").as("stat"))
-      .unionByName(FeatureStats.ks(train, test, "value")
-        .select(lit("ks_value").as("metric"), col("ks").as("stat")))
-      .unionByName(FeatureStats.psi(train, test, "value", BinW, NBins)
-        .select(lit("psi_value").as("metric"), col("psi").as("stat")))
-      .orderBy("metric")
+    try {
+      val train = split.where(col("split") === "train")
+      val test = split.where(col("split") === "test")
+      val report = FeatureStats
+        .iv(split, "value", col("role") === "purchase", BinW, NBins)
+        .select(lit("iv_value").as("metric"), col("iv").as("stat"))
+        .unionByName(FeatureStats.ks(train, test, "value")
+          .select(lit("ks_value").as("metric"), col("ks").as("stat")))
+        .unionByName(FeatureStats.psi(train, test, "value", BinW, NBins)
+          .select(lit("psi_value").as("metric"), col("psi").as("stat")))
+        .orderBy("metric")
+      localized(spark, report).orderBy("metric")
+    } finally split.unpersist()
   }
 
   /** q47 — the composition the whole engine exists for: a feature COMPUTED

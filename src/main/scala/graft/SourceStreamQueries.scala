@@ -276,7 +276,8 @@ object SourceStreamQueries {
        |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts
        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
        |)
-       |SELECT conv_id, count(*) AS n_rows, sum(count_w) AS sum_cnt,
+       |SELECT conv_id, count(*) AS n_rows,
+       |       CAST(sum(count_w) AS BIGINT) AS sum_cnt,
        |       round(sum(CAST(round(sum_w * 100) AS BIGINT)) / 100.0, 0) AS sum_sum,
        |       max(count_w) AS max_cnt
        |FROM f GROUP BY conv_id ORDER BY conv_id""".stripMargin
@@ -308,8 +309,14 @@ object SourceStreamQueries {
       opts(view.write).option("header", "true").mode("overwrite").csv(s"$tmp/csv")
       opts(view.write).mode("overwrite").json(s"$tmp/json")
 
+      // multiLine: a text value containing an embedded newline is WRITTEN
+      // quoted across lines; without it the reader treats each physical
+      // line as a record and PERMISSIVE-nulls the broken halves, failing
+      // the CSV-vs-JSON fingerprint on otherwise-valid data (ADVICE r3
+      // item 5). Write and read both use Spark's default quote/escape, so
+      // only the line-spanning flag needs to be explicit.
       val fromCsv = spark.read.schema(view.schema)
-        .option("header", "true")
+        .option("header", "true").option("multiLine", "true")
         .option("timestampFormat", fmt).option("timestampNTZFormat", fmt)
         .csv(s"$tmp/csv")
       val fromJson = spark.read.schema(view.schema)

@@ -103,9 +103,17 @@ object Resume {
     root.mkdirs()
     // Default bucket function: xxhash64(entity) mod buckets. Callers may
     // substitute any deterministic int expression over the entity (e.g. an
-    // md5-derived bucket that an external engine can replicate).
-    val bucketOf = bucketCol.getOrElse(
-      pmod(xxhash64(col(entity)), lit(buckets.toLong))).cast("long")
+    // md5-derived bucket that an external engine can replicate). A NULL
+    // bucket value (md5(NULL) is NULL, so null entities under custom
+    // expressions produce one) is routed to bucket 0 deterministically:
+    // without this, null-bucket rows land in __HIVE_DEFAULT_PARTITION__
+    // where the fingerprint read-back NPEs on full waves and the isin slice
+    // silently DROPS them on partial waves — two different failure modes
+    // for the same data (ADVICE r3 item 1).
+    val bucketOf = coalesce(
+      bucketCol.getOrElse(
+        pmod(xxhash64(col(entity)), lit(buckets.toLong))).cast("long"),
+      lit(0L))
 
     def bucketDir(b: Int) = new java.io.File(root, s"bucket=$b")
     def manifestFile(b: Int) = new java.io.File(root, s"manifest_$b.json")

@@ -19,14 +19,23 @@ case class FeatureSpec(
 
 object Pipeline {
 
+  /** `skewPolicy` threads to every rolling call: pass
+    * [[SkewPolicy.Precomputed]] when the pipeline already materialized
+    * per-entity counts (the O10 manifest aggregation) so a multi-window
+    * backfill never runs a detection scan; under the default Auto, the
+    * session detection cache (Rolling.detectHotKeysCached) already
+    * collapses repeated calls over the same input to ONE detection job.
+    */
   def backfill(
       turns: DataFrame,
       spec: FeatureSpec,
       entity: String = "conv_id",
       tsCol: String = "ts",
-      tieCol: String = "turn_idx"): DataFrame = {
+      tieCol: String = "turn_idx",
+      skewPolicy: SkewPolicy = SkewPolicy.Auto): DataFrame = {
     var df = turns
-    if (spec.rolling.nonEmpty) df = Rolling.rollingAgg(df, entity, tsCol, spec.rolling)
+    if (spec.rolling.nonEmpty)
+      df = Rolling.rollingAgg(df, entity, tsCol, spec.rolling, skewPolicy)
     if (spec.rows.nonEmpty) df = Rolling.rowsAgg(df, entity, tsCol, tieCol, spec.rows)
     if (spec.lags.nonEmpty) df = Offsets.lags(df, entity, Seq(tieCol, tsCol), spec.lags)
     if (spec.ffillCols.nonEmpty) df = Offsets.ffill(df, entity, Seq(tsCol, tieCol), spec.ffillCols)

@@ -74,8 +74,11 @@ object Rolling {
       case SkewPolicy.WindowOnly => Seq.empty
       case SkewPolicy.Auto =>
         val t = df.sparkSession.conf.get(HotThresholdKey, HotThresholdDefault.toString).toLong
-        detectHotKeys(df, entity, t)
-      case SkewPolicy.Guarded(t) => detectHotKeys(df, entity, t)
+        detectHotKeysCached(df, entity, t)
+      case SkewPolicy.Guarded(t) => detectHotKeysCached(df, entity, t)
+      case SkewPolicy.Precomputed(counts, countCol) =>
+        val t = df.sparkSession.conf.get(HotThresholdKey, HotThresholdDefault.toString).toLong
+        hotKeysFromCounts(counts, entity, countCol, t)
     }
     if (hot.isEmpty) windowRolling(df, entity, tsCol, specs)
     else {
@@ -102,6 +105,76 @@ object Rolling {
     }
   }
 
+  /** Session-scoped detection-result cache (SURVEY.md §4.2 "reuse, don't
+    * re-scan" — VERDICT r3 item 3): keyed by the CANONICALIZED optimized
+    * plan (structural equality, alias/id-invariant) plus (entity,
+    * threshold), so a pipeline composing several rolling calls over the
+    * same input pays ONE detection job, not one per call. Bounded LRU per
+    * session; sessions are weak keys. A stale entry (input files rewritten
+    * under the same plan within one session) only mis-ROUTES — results are
+    * identical on either path — and [[clearDetectionCache]] resets
+    * explicitly; [[SkewPolicy.Precomputed]] skips detection entirely when
+    * the caller already has per-entity counts (the O10 manifest shape).
+    */
+  private val detectionCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[(Any, String, Long), Seq[Any]]]()
+  private val DetectionCacheMax = 64
+
+  /** Test pin: number of detection JOBS actually run (cache misses that
+    * reach the count job; early-outs and cache hits do not count).
+    */
+  private[graft] val detectionJobs = new java.util.concurrent.atomic.AtomicLong
+
+  def clearDetectionCache(spark: SparkSession): Unit =
+    detectionCache.synchronized { detectionCache.remove(spark) }
+
+  private[graft] def detectHotKeysCached(
+      df: DataFrame,
+      entity: String,
+      threshold: Long): Seq[Any] = {
+    if (threshold <= 0L) return Nil
+    val spark = df.sparkSession
+    val key = (df.queryExecution.optimizedPlan.canonicalized, entity, threshold)
+    detectionCache.synchronized {
+      val m = detectionCache.computeIfAbsent(spark, _ =>
+        new java.util.LinkedHashMap[(Any, String, Long), Seq[Any]](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(Any, String, Long), Seq[Any]]): Boolean =
+            size > DetectionCacheMax
+        })
+      Option(m.get(key))
+    } match {
+      case Some(hit) => hit
+      case None =>
+        val res = detectHotKeys(df, entity, threshold)
+        detectionCache.synchronized {
+          Option(detectionCache.get(spark)).foreach(_.put(key, res))
+        }
+        res
+    }
+  }
+
+  /** Hot keys from PRECOMPUTED per-entity counts ([[SkewPolicy.Precomputed]]):
+    * no detection scan at all — the caller's lineage/manifest aggregation is
+    * the stats source (SURVEY.md §4.2). Exact counts ⇒ exact threshold, no
+    * sampling cutoff.
+    */
+  private[graft] def hotKeysFromCounts(
+      counts: DataFrame,
+      entity: String,
+      countCol: String,
+      threshold: Long): Seq[Any] = {
+    if (threshold <= 0L) return Nil
+    val rows = counts
+      .where(col(countCol) >= threshold)
+      .orderBy(col(countCol).desc)
+      .limit(MaxHotKeys)
+      .select(col(entity))
+      .collect()
+    rows.map(_.get(0)).toSeq
+  }
+
   /** Hot-entity detection: per-entity count over the entity column only
     * (column pruning keeps the scan narrow; the partial aggregate collapses
     * a whale to one row per map task, so detection itself cannot skew).
@@ -120,10 +193,19 @@ object Rolling {
     val conf = df.sparkSession.sessionState.conf
     val sizeKnown = stats.sizeInBytes < BigInt(conf.defaultSizeInBytes)
     // No entity can have `threshold` rows if the whole input provably has
-    // fewer: sizeInBytes below one byte per threshold row is a safe skip
-    // for any non-degenerate encoding (and a wrong skip only loses the
-    // guard, never correctness).
-    if (sizeKnown && stats.sizeInBytes < BigInt(threshold)) return Nil
+    // fewer. Prefer the EXACT rowCount when the stats carry one; otherwise
+    // fall back to sizeInBytes with 64× headroom — RLE/dictionary parquet
+    // of a single repeated entity (precisely the whale shape the guard
+    // exists for) can pack far more than one row per byte, so a plain
+    // one-byte-per-row bound could silently disable the guard on
+    // small-but-hot inputs (ADVICE r3 item 3). A wrong skip only loses the
+    // guard, never correctness.
+    stats.rowCount match {
+      case Some(rc) => if (rc < BigInt(threshold)) return Nil
+      case None =>
+        if (sizeKnown && stats.sizeInBytes < BigInt(math.max(threshold / 64L, 1L)))
+          return Nil
+    }
     // Sampling is only statistically sound when a true whale is expected to
     // appear many times in the sample: threshold·fraction ≥ 30 keeps the
     // miss probability negligible (Chernoff at 0.3× the expectation). For
@@ -141,6 +223,7 @@ object Rolling {
         (keys.sample(withReplacement = false, frac, seed = 42L),
           math.max(2L, (threshold * frac * 0.3).toLong))
       else (keys, threshold + 1L)
+    detectionJobs.incrementAndGet()
     val rows = src
       .groupBy(col(entity)).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= cutoff)

@@ -233,6 +233,21 @@ object Skew {
       case other => throw new IllegalArgumentException(s"non-numeric: $other")
     }
 
+    // NUnique key normalization, mirroring WindowNUnique.normalize: Spark
+    // SQL treats NaN = NaN as true, but Scala HashMap keys compare boxed
+    // floats with primitive semantics (NaN != NaN) — unnormalized, every
+    // NaN would count distinct AND its eviction decrement would miss. Both
+    // O3 paths must stay result-identical on the same input.
+    private def nuKey(v: Any): Any = v match {
+      case d: java.lang.Double =>
+        if (d.isNaN) graft.tjk.expressions.WindowNUnique.NaNMarker
+        else if (d.doubleValue() == 0.0) java.lang.Double.valueOf(0.0) else d
+      case f: java.lang.Float =>
+        if (f.isNaN) graft.tjk.expressions.WindowNUnique.NaNMarker
+        else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f) else f
+      case other => other
+    }
+
     def add(ts: Long, v: Any): Unit = {
       q.append((ts, v))
       if (v != null) {
@@ -241,7 +256,7 @@ object Skew {
           case Agg.Sum | Agg.Mean => kahanAdd(toD(v))
           case Agg.Min | Agg.Max  => ordered.merge(toD(v), 1, (a, b) => a + b)
           case Agg.NUnique =>
-            counts.updateWith(v) { c => Some(c.getOrElse(0) + 1) }
+            counts.updateWith(nuKey(v)) { c => Some(c.getOrElse(0) + 1) }
           case Agg.Count =>
         }
       }
@@ -260,7 +275,7 @@ object Skew {
               val c = ordered.get(d)
               if (c <= 1) ordered.remove(d) else ordered.put(d, c - 1)
             case Agg.NUnique =>
-              counts.updateWith(v) { c =>
+              counts.updateWith(nuKey(v)) { c =>
                 if (c.contains(1)) None else c.map(_ - 1)
               }
             case Agg.Count =>

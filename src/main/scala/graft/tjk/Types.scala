@@ -62,6 +62,19 @@ object SkewPolicy {
     * raw window path. A whale entity on this path owns one task end-to-end.
     */
   case object WindowOnly extends SkewPolicy
+  /** Route from CALLER-SUPPLIED per-entity counts — the O10 lineage/manifest
+    * aggregation shape (SURVEY.md §4.2 "reuse, don't re-scan"): `counts`
+    * must carry the entity column plus `countCol` (e.g.
+    * `df.groupBy(entity).count()` materialized once by the pipeline). No
+    * detection scan runs at all; entities with count ≥ the session
+    * `spark.graft.rolling.hotThreshold` route to the chunked path. Exact
+    * counts, exact threshold — no sampling cutoff. Inside
+    * [[Resume.runBucketed]] jobs this preserves the strict one-input-scan
+    * budget that Auto's detection job would break.
+    */
+  final case class Precomputed(
+      counts: org.apache.spark.sql.DataFrame,
+      countCol: String = "count") extends SkewPolicy
 }
 
 /** One time-window rolling feature: agg(col) over the trailing window

@@ -3,9 +3,10 @@ package graft.tjk.expressions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
 import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types._
 
 /** Exact distinct-count aggregate usable OVER WINDOW FRAMES — the default
   * O3 path (SURVEY.md §2.5 "custom typed agg", §4.3 extension 1).
@@ -42,12 +43,45 @@ case class WindowNUnique(
   override def dataType: DataType = LongType
   override def prettyName: String = "tjk_window_nunique"
 
+  /** The buffer's distinctness relies on Java `equals`: Array[Byte]
+    * (BinaryType) compares by REFERENCE, and nested arrays/structs carry
+    * the same hazard — every occurrence would count as distinct. Those
+    * types therefore fail at ANALYSIS instead of returning wrong counts
+    * (ADVICE r3 item 2); [[update]] separately normalizes -0.0/NaN so
+    * float semantics match `count(DISTINCT ...)`.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType | StringType | BooleanType | DateType |
+        TimestampType | TimestampNTZType | NullType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName does not support ${dt.catalogString}: binary and nested " +
+        "types compare by reference in the distinct buffer")
+  }
+
   override def createAggregationBuffer(): mutable.HashSet[Any] =
     mutable.HashSet.empty[Any]
 
+  // count(DISTINCT) treats -0.0 == 0.0 and NaN = NaN as true (Spark SQL's
+  // ordering semantics; Catalyst normalizes floats before grouping). The
+  // Scala HashSet compares boxed doubles with PRIMITIVE semantics, where
+  // NaN != NaN — every NaN insert would count as a new distinct value — so
+  // NaN maps to a singleton sentinel (can't collide with data: the child
+  // column is float-typed) and zeros to canonical +0.0.
+  private def normalize(v: Any): Any = v match {
+    case d: java.lang.Double =>
+      if (d.isNaN) WindowNUnique.NaNMarker
+      else if (d.doubleValue() == 0.0) java.lang.Double.valueOf(0.0)
+      else d
+    case f: java.lang.Float =>
+      if (f.isNaN) WindowNUnique.NaNMarker
+      else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f)
+      else f
+    case other => other
+  }
+
   override def update(buf: mutable.HashSet[Any], input: InternalRow): mutable.HashSet[Any] = {
     val v = child.eval(input)
-    if (v != null) buf += InternalRow.copyValue(v)
+    if (v != null) buf += normalize(InternalRow.copyValue(v))
     buf
   }
 
@@ -78,10 +112,19 @@ case class WindowNUnique(
     buf
   }
 
+  // (serialize/deserialize above carry the sentinel fine: Scala case
+  // objects resolve back to the singleton via readResolve)
   override def withNewMutableAggBufferOffset(newOffset: Int): WindowNUnique =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): WindowNUnique =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): WindowNUnique =
     copy(child = newChildren.head)
+}
+
+object WindowNUnique {
+  /** All-NaN-payloads equivalence class for the distinct buffer (shared
+    * with the chunked path's SlidingState so both O3 paths agree on NaN).
+    */
+  private[tjk] case object NaNMarker
 }

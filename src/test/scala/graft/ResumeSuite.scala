@@ -137,6 +137,44 @@ class ResumeSuite extends SparkTestBase {
     deleteRec(new java.io.File(one)); deleteRec(new java.io.File(four))
   }
 
+  test("NULL bucket values route to bucket 0 on full AND partial waves") {
+    // ADVICE r3 item 1: an md5-derived bucketCol is NULL for a null entity;
+    // unrouted, those rows land in __HIVE_DEFAULT_PARTITION__ (NPE on the
+    // full-wave fingerprint read-back, silent drop on partial-wave slices).
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 40).map { i =>
+      (if (i == 7 || i == 23) null else f"c$i%02d", i,
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }
+    val input = rows.toDF("conv_id", "turn_idx", "ts")
+    val bucketOf = pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(4))
+    val outDir = Files.createTempDirectory("tjk_resume_null").toString
+
+    val first = Resume.runBucketed(spark, input, "conv_id", outDir, 4,
+      bucketCol = Some(bucketOf))(df => df)
+    assert(first.map(_.rowCount).sum == 40L, "full wave lost null-bucket rows")
+    val all = spark.read.parquet((0 until 4).map(b => s"$outDir/bucket=$b"): _*)
+    assert(all.count() == 40L)
+    assert(spark.read.parquet(s"$outDir/bucket=0")
+      .where(col("conv_id").isNull).count() == 2L)
+
+    // Crash bucket 0 (the null home) and resume with a PARTIAL wave: the
+    // recomputed slice must still include the null rows.
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(s"$outDir/bucket=0"))
+    new java.io.File(s"$outDir/manifest_0.json").delete()
+    val second = Resume.runBucketed(spark, input, "conv_id", outDir, 4,
+      bucketCol = Some(bucketOf))(df => df)
+    assert(second.map(r => (r.bucket, r.rowCount, r.contentHash)).toSet ==
+      first.map(r => (r.bucket, r.rowCount, r.contentHash)).toSet)
+    assert(spark.read.parquet(s"$outDir/bucket=0")
+      .where(col("conv_id").isNull).count() == 2L)
+    deleteRec(new java.io.File(outDir))
+  }
+
   test("lineage fingerprint is partition-layout independent") {
     val df = turnsDf(Gen.turnsSeq(42L, 10, 30))
     val a = Lineage.tableFingerprint(df.repartition(1))

@@ -235,6 +235,77 @@ class SkewSuite extends SparkTestBase {
     }
   }
 
+  test("detection runs ONE job for a 2-call pipeline (session cache reuse)") {
+    // VERDICT r3 item 3 / SURVEY §4.2 "reuse, don't re-scan": two rolling
+    // calls over the SAME input + threshold must share one detection scan.
+    Rolling.clearDetectionCache(spark)
+    val before = Rolling.detectionJobs.get()
+    Rolling.rollingAgg(skewed, "conv_id", "ts",
+      Seq(RollingSpec("value", Agg.Sum, H1)), SkewPolicy.Guarded(101L)).count()
+    Rolling.rollingAgg(skewed, "conv_id", "ts",
+      Seq(RollingSpec("value", Agg.Count, H1)), SkewPolicy.Guarded(101L)).count()
+    assert(Rolling.detectionJobs.get() - before == 1L,
+      s"expected 1 detection job, ran ${Rolling.detectionJobs.get() - before}")
+    // Different threshold = different cache key = a fresh (correct) scan.
+    Rolling.rollingAgg(skewed, "conv_id", "ts",
+      Seq(RollingSpec("value", Agg.Sum, H1)), SkewPolicy.Guarded(102L)).count()
+    assert(Rolling.detectionJobs.get() - before == 2L)
+  }
+
+  test("Precomputed counts route the whale with ZERO detection scans") {
+    val counts = skewed.groupBy("conv_id").count()
+    val before = Rolling.detectionJobs.get()
+    spark.conf.set(Rolling.HotThresholdKey, "100")
+    try {
+      val specs = Seq(RollingSpec("value", Agg.Sum, H1))
+      val out = Rolling.rollingAgg(skewed, "conv_id", "ts", specs,
+        SkewPolicy.Precomputed(counts))
+      // the whale actually routed (hot/cold union shape) …
+      assert(out.queryExecution.executedPlan.toString.contains("Union"),
+        "Precomputed policy did not route any entity")
+      // … with identical results …
+      def fp(df: org.apache.spark.sql.DataFrame) = Lineage.tableFingerprint(
+        df.select(col("conv_id"), col("turn_idx"),
+          round(col("sum_value_3600s"), 9).as("s")))
+      assert(fp(out) ==
+        fp(Rolling.rollingAgg(skewed, "conv_id", "ts", specs, SkewPolicy.WindowOnly)))
+      // … and no detection scan of the input ran.
+      assert(Rolling.detectionJobs.get() == before)
+    } finally spark.conf.unset(Rolling.HotThresholdKey)
+  }
+
+  test("WindowNUnique rejects binary input at analysis (reference-equality hazard)") {
+    val df = skewed.withColumn("b", col("tool").cast("binary"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Rolling.rollingAgg(df, "conv_id", "ts",
+        Seq(RollingSpec("b", Agg.NUnique, H1)), SkewPolicy.WindowOnly).collect()
+    }
+    assert(ex.getMessage.contains("tjk_window_nunique") ||
+      ex.getMessage.toLowerCase.contains("binary"), ex.getMessage)
+  }
+
+  test("WindowNUnique counts -0.0==0.0 and all NaNs as one, like count(DISTINCT)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val df = Seq(
+      ("a", 0, ts(0), 0.0), ("a", 1, ts(1), -0.0),
+      ("a", 2, ts(2), Double.NaN), ("a", 3, ts(3), Double.NaN))
+      .toDF("conv_id", "turn_idx", "ts", "value")
+    val out = Rolling.rollingAgg(df, "conv_id", "ts",
+        Seq(RollingSpec("value", Agg.NUnique, H1)), SkewPolicy.WindowOnly)
+      .orderBy("turn_idx").select("nunique_value_3600s").collect().map(_.getLong(0))
+    // frames: [0.0] → 1; [0.0,-0.0] → 1; +NaN → 2; +NaN → 2
+    assert(out.toSeq == Seq(1L, 1L, 2L, 2L), out.toSeq.toString)
+    // …and the chunked O3 path must agree (same normalization, or a whale
+    // routing would silently change NaN semantics)
+    val chunked = Skew.chunkedRollingAgg(df, "conv_id", "ts",
+        Seq(RollingSpec("value", Agg.NUnique, H1)),
+        chunkSpanMicros = H1.toMillis * 1000L)
+      .orderBy("turn_idx").select("nunique_value_3600s").collect().map(_.getLong(0))
+    assert(chunked.toSeq == Seq(1L, 1L, 2L, 2L), chunked.toSeq.toString)
+  }
+
   test("generator produces the intended hot tail (skew exists to be handled)") {
     val counts = skewed.groupBy("conv_id").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -49,6 +49,18 @@ for q in sorted(oracle):
     bad = []
     for c in s.columns:
         a, b = s[c], d[c]
+        # Dtype divergence check (VERDICT r3 item 2): the driver's hasher is
+        # TYPED — DuckDB HUGEINT (e.g. sum over BIGINT) reaches pandas as
+        # float64 while Spark dumps int64, so equal VALUES still hash-differ.
+        # Coercing both sides to float here would mask exactly that, so a
+        # cross-kind dtype mismatch (int vs float vs object ...) is a HARD
+        # failure; same-kind width/resolution differences are warned loudly.
+        if a.dtype != b.dtype:
+            if a.dtype.kind != b.dtype.kind:
+                bad.append((c, f"DTYPE: spark={a.dtype} duck={b.dtype} "
+                               "(driver hash is typed — CAST the oracle column)"))
+                continue
+            print(f"WARN {q}.{c}: dtype width differs spark={a.dtype} duck={b.dtype}")
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             a = a.astype(float); b = b.astype(float)
             ok = ((a.isna() & b.isna()) |
