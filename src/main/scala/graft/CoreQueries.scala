@@ -145,6 +145,25 @@ object CoreQueries {
     val plan = out.queryExecution.executedPlan.toString
     require(plan.contains("approx_count_distinct"),
       s"q42 must plan approx_count_distinct over the frame; got:\n$plan")
+    // In-query error-bound law (VERDICT r3 item 4): the driver's harness has
+    // no rows-only mode, so the accuracy claim must fail HERE, inside the
+    // sweep, not silently. On an md5-derived 1/16 conversation slice the HLL
+    // estimate must track the exact WindowNUnique within 3·rsd of the exact
+    // value (rsd = 0.05 default ⇒ 15%, floor 1 — the same bound SkewSuite
+    // pins). One plan computes both columns: the two window aggs share the
+    // (conv_id, ts) partitioning, so this costs one narrow slice job.
+    val slice = t(spark, dir)
+      .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(16)) === 3)
+    val both = Rolling.rollingAgg(
+      Rolling.approxRollingNunique(slice, "conv_id", "ts", "tool", D1),
+      "conv_id", "ts", Seq(RollingSpec("tool", Agg.NUnique, D1)),
+      SkewPolicy.WindowOnly)
+    val viol = both.where(
+      abs(col("approx_nunique_tool_86400s") - col("nunique_tool_86400s")) >
+        greatest(lit(1L), ceil(col("nunique_tool_86400s") * 0.15).cast("long")))
+      .count()
+    require(viol == 0L,
+      s"q42 law: $viol slice rows where the HLL estimate deviates > 3·rsd from exact")
     out
   }
 
@@ -177,13 +196,13 @@ object CoreQueries {
   /** Right side: purchase events, deduped to unique (conv_id, ts) by greatest
     * event_id so the DuckDB ASOF oracle is tie-free.
     */
-  private def purchases(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def purchases(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "events")
       .where(col("event_type") === "purchase")
       .groupBy(col("user_id").cast("string").as("conv_id"), col("ts").as("ev_ts"))
       .agg(max_by(col("value"), col("event_id")).as("pv"))
 
-  private val purchasesSqlCte: String =
+  private[graft] val purchasesSqlCte: String =
     """ev AS (
       |  SELECT CAST(user_id AS VARCHAR) AS conv_id, ts AS ev_ts,
       |         arg_max(value, event_id) AS pv

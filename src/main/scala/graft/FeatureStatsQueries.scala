@@ -142,6 +142,107 @@ object FeatureStatsQueries {
        |                 ln(((np+0.5)/(tp+5.0)) / ((nn+0.5)/(tn+5.0)))), 6) AS stat
        |FROM ij, it""".stripMargin
 
+  /** q48 — outlier handling (the last §0.3 analysis-stage item): Tukey
+    * fences over `value` from exact integer-cents quartiles, plus the
+    * below/above counts and the winsorized exact-half-cents sum — all in
+    * the scale shape of [[FeatureStats.outlierReport]] (grouped counts →
+    * tiny cumulative window → one clamp pass against broadcast bounds).
+    */
+  def outlierReport(spark: SparkSession, dir: String): DataFrame =
+    FeatureStats.outlierReport(Tables.transcripts(spark, dir),
+      NumFeature("value", col("value"), 2))
+
+  /** Every integer SUM that reaches a SELECT is CAST to BIGINT: DuckDB
+    * widens them to HUGEINT, which the driver's typed hasher sees as
+    * float64 vs Spark's int64 (the q41/q44 r3 lesson).
+    */
+  val outlierReportSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |d AS (SELECT CAST(round(value*100) AS BIGINT) AS vi FROM t WHERE value IS NOT NULL),
+       |c AS (SELECT vi, count(*) AS cnt FROM d GROUP BY vi),
+       |cc AS (SELECT vi, cnt,
+       |         sum(cnt) OVER (ORDER BY vi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |         sum(cnt) OVER () AS n
+       |       FROM c),
+       |q AS (SELECT CAST(max(n) AS BIGINT) AS n,
+       |        min(CASE WHEN cum >= ceil(n * 0.25) THEN vi END) AS q1c,
+       |        min(CASE WHEN cum >= ceil(n * 0.75) THEN vi END) AS q3c
+       |      FROM cc),
+       |b AS (SELECT n, q1c, q3c,
+       |        q1c - 1.5 * (q3c - q1c) AS loc,
+       |        q3c + 1.5 * (q3c - q1c) AS hic
+       |      FROM q),
+       |r AS (SELECT b.n, b.q1c, b.q3c, b.loc, b.hic,
+       |        CAST(sum(CASE WHEN vi < loc THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       |        CAST(sum(CASE WHEN vi > hic THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       |        sum(CAST(round(greatest(least(CAST(vi AS DOUBLE), hic), loc) * 2) AS BIGINT)) AS s2
+       |      FROM d, b GROUP BY 1, 2, 3, 4, 5)
+       |SELECT 'value' AS feature, n,
+       |  round(q1c / 100.0, 6) AS q1, round(q3c / 100.0, 6) AS q3,
+       |  round(loc / 100.0, 6) AS lo, round(hic / 100.0, 6) AS hi,
+       |  n_below, n_above,
+       |  round(s2 / 2.0 / 100.0, 6) AS sum_clamped
+       |FROM r""".stripMargin
+
+  /** q49 — operator→report composition across the OTHER core join (the q47
+    * pattern for as-of): the point-in-time purchase value attached by
+    * [[graft.tjk.AsOf.asofJoin]] (the q06 operator) is fed into the drift
+    * surface — PSI and exact KS between the OOT halves of the SPINE's
+    * timeline. The oracle replicates both halves: DuckDB ASOF JOIN into the
+    * binned-PSI / per-value-KS SQL, so the check spans join + report
+    * end-to-end.
+    */
+  def asofDrift(spark: SparkSession, dir: String): DataFrame = {
+    val spine = Tables.transcripts(spark, dir)
+      .where(pmod(col("turn_idx"), lit(5)) === 0)
+      .select("conv_id", "turn_idx", "ts")
+    val joined = graft.tjk.AsOf.asofJoin(spine,
+        CoreQueries.purchases(spark, dir), "conv_id", "ts", "ev_ts", Seq("pv"))
+    val split = Split.timeSplit(joined, "ts", Boundary)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val train = split.where(col("split") === "train")
+      val test = split.where(col("split") === "test")
+      val report = FeatureStats.ks(train, test, "pv")
+        .select(lit("ks_asof_pv").as("metric"), col("ks").as("stat"))
+        .unionByName(FeatureStats.psi(train, test, "pv", BinW, NBins)
+          .select(lit("psi_asof_pv").as("metric"), col("psi").as("stat")))
+        .orderBy("metric")
+      localized(spark, report).orderBy("metric")
+    } finally split.unpersist()
+  }
+
+  val asofDriftSql: String =
+    s"""WITH ${Tables.transcriptsSqlCte},
+       |${CoreQueries.purchasesSqlCte},
+       |spine AS (SELECT conv_id, turn_idx, ts FROM t WHERE turn_idx % 5 = 0),
+       |j AS (SELECT s.ts, e.pv
+       |      FROM spine s ASOF LEFT JOIN ev e
+       |        ON s.conv_id = e.conv_id AND s.ts >= e.ev_ts),
+       |tr AS (SELECT pv AS value FROM j WHERE ts < TIMESTAMP '$Boundary' AND pv IS NOT NULL),
+       |te AS (SELECT pv AS value FROM j WHERE ts >= TIMESTAMP '$Boundary' AND pv IS NOT NULL),
+       |bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x)),
+       |pa AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin, count(*) AS na FROM tr GROUP BY 1),
+       |pb AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin, count(*) AS nb FROM te GROUP BY 1),
+       |pj AS (SELECT bins.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+       |       FROM bins LEFT JOIN pa USING (bin) LEFT JOIN pb USING (bin)),
+       |pt AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pj),
+       |psi AS (SELECT round(sum(((nb+0.5)/(tb+5.0) - (na+0.5)/(ta+5.0)) *
+       |                        ln(((nb+0.5)/(tb+5.0)) / ((na+0.5)/(ta+5.0)))), 6) AS stat
+       |        FROM pj, pt),
+       |ka AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS na FROM tr GROUP BY 1),
+       |kb AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS nb FROM te GROUP BY 1),
+       |km AS (SELECT coalesce(ka.v, kb.v) AS v, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+       |       FROM ka FULL JOIN kb ON ka.v = kb.v),
+       |kc AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+       |              sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+       |              (SELECT sum(na) FROM km) AS ta, (SELECT sum(nb) FROM km) AS tb
+       |       FROM km),
+       |ks AS (SELECT round(max(abs(CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)), 6) AS stat FROM kc)
+       |SELECT 'ks_asof_pv' AS metric, stat FROM ks
+       |UNION ALL SELECT 'psi_asof_pv', stat FROM psi
+       |ORDER BY metric""".stripMargin
+
   val driftReportSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},
        |tr AS (SELECT value FROM t WHERE ts < TIMESTAMP '$Boundary' AND value IS NOT NULL),

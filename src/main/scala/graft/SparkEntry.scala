@@ -63,6 +63,8 @@ object SparkEntry {
     "q45_drift_iv"          -> (FeatureStatsQueries.driftReport _),
     "q46_streaming_sessions"-> (SourceStreamQueries.streamingSessions _),
     "q47_feature_iv"        -> (FeatureStatsQueries.featureIv _),
+    "q48_outlier_bounds"    -> (FeatureStatsQueries.outlierReport _),
+    "q49_asof_drift"        -> (FeatureStatsQueries.asofDrift _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,5 +120,7 @@ object SparkEntry {
     "q45_drift_iv"          -> FeatureStatsQueries.driftReportSql,
     "q46_streaming_sessions"-> SourceStreamQueries.streamingSessionsSql,
     "q47_feature_iv"        -> FeatureStatsQueries.featureIvSql,
+    "q48_outlier_bounds"    -> FeatureStatsQueries.outlierReportSql,
+    "q49_asof_drift"        -> FeatureStatsQueries.asofDriftSql,
   )
 }

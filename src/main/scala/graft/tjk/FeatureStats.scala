@@ -131,6 +131,78 @@ object FeatureStats {
         .as("ks"))
   }
 
+  /** Outlier bounds + clamp report for a bounded-decimal feature — the last
+    * item of the reference pipeline's analysis stage (SURVEY.md §0.3
+    * "outlier handling"). Tukey fences from EXACT type-1 quartiles:
+    * q1/q3 = the smallest value whose cumulative count reaches ceil(p·n)
+    * (deterministic and oracle-replicable, never approx_percentile),
+    * lo/hi = q1 − k·IQR / q3 + k·IQR.
+    *
+    * Scale shape: one grouped integer-count shuffle over the data
+    * (cardinality ≤ the value domain), quartiles via a cumulative window
+    * over that SMALL aggregate, then ONE more pass computing
+    * below/above counts and the clamped sum against the broadcast 1-row
+    * bounds — no driver collect, no global sort of raw rows. With k = 1.5
+    * and integer-cents quartiles, lo/hi are exact multiples of half a
+    * cent, so the clamped sum folds exact integer HALF-cents and the
+    * report is bit-identical cross-engine and across partitionings.
+    */
+  def outlierReport(df: DataFrame, f: NumFeature, kIqr: Double = 1.5): DataFrame = {
+    val vi = round(f.expr.cast("double") * f.scale).cast("long")
+    val data = df.select(vi.as("vi")).where(col("vi").isNotNull)
+    val counts = data.groupBy("vi").agg(count(lit(1)).as("cnt"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy("vi").rowsBetween(Window.unboundedPreceding, 0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val bounds = cum
+      .agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") >= ceil(col("n") * 0.25), col("vi"))).as("q1c"),
+        min(when(col("cum") >= ceil(col("n") * 0.75), col("vi"))).as("q3c"))
+      .select(col("n"), col("q1c"), col("q3c"),
+        (col("q1c") - lit(kIqr) * (col("q3c") - col("q1c"))).as("loc"),
+        (col("q3c") + lit(kIqr) * (col("q3c") - col("q1c"))).as("hic"))
+    data.crossJoin(broadcast(bounds))
+      .groupBy("n", "q1c", "q3c", "loc", "hic")
+      .agg(
+        sum(when(col("vi") < col("loc"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("vi") > col("hic"), 1L).otherwise(0L)).as("n_above"),
+        sum(round(greatest(least(col("vi").cast("double"), col("hic")), col("loc")) * 2)
+          .cast("long")).as("s2"))
+      .select(
+        lit(f.name).as("feature"), col("n"),
+        round(col("q1c") / f.scale.toDouble, 6).as("q1"),
+        round(col("q3c") / f.scale.toDouble, 6).as("q3"),
+        round(col("loc") / f.scale.toDouble, 6).as("lo"),
+        round(col("hic") / f.scale.toDouble, 6).as("hi"),
+        col("n_below"), col("n_above"),
+        round(col("s2") / 2.0 / f.scale.toDouble, 6).as("sum_clamped"))
+  }
+
+  /** Moment-based (k·σ) bounds from the exact integer moments — the cheap
+    * single-aggregation alternative when quartiles aren't needed. Same
+    * 1-row (feature, n, lo, hi) shape contract as the IQR fences.
+    */
+  def outlierBoundsSigma(df: DataFrame, f: NumFeature, k: Double = 3.0): DataFrame =
+    profileNumeric(df, f).select(col("feature"), col("n"),
+      round(col("mean") - lit(k) * col("std"), 6).as("lo"),
+      round(col("mean") + lit(k) * col("std"), 6).as("hi"))
+
+  /** Column-level clamp + flag: `<c>_clamped` (winsorized to [lo, hi]) and
+    * `<c>_outlier` (true outside the fences; null value ⇒ null/ false-free
+    * row is preserved as null). Composes with any bounds source.
+    */
+  def clampOutliers(df: DataFrame, c: String, lo: Double, hi: Double): DataFrame =
+    df
+      // least/greatest IGNORE nulls (they return the extreme non-null
+      // operand), so a null value must be passed through explicitly — a
+      // missing measurement is not an in-range one
+      .withColumn(s"${c}_clamped",
+        when(col(c).isNull, lit(null).cast("double"))
+          .otherwise(greatest(least(col(c), lit(hi)), lit(lo))))
+      .withColumn(s"${c}_outlier", col(c) < lo || col(c) > hi)
+
   /** Information Value of a binned numeric feature against a binary label,
     * Laplace-smoothed: IV = Σ_bins (g_i − b_i) · ln(g_i / b_i) with
     * g_i/b_i the smoothed shares of positive/negative rows in bin i.

@@ -87,6 +87,54 @@ class FeatureStatsSuite extends SparkTestBase {
     assert(all(df.repartition(1)) == all(df.repartition(13)))
   }
 
+  test("outlierReport: hand-computed Tukey fences, counts and winsorized sum") {
+    val spark2 = spark
+    import spark2.implicits._
+    // values: 8 inliers 1..8, one low outlier -100, one high outlier 100,
+    // one null (ignored). n=10 non-null.
+    val vals = Seq(-100.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0)
+    val d = (vals.map(Option(_)) :+ None).toDF("value")
+    val r = FeatureStats.outlierReport(d, NumFeature("value", col("value"), 2))
+      .collect()(0)
+    // type-1 quartiles over the 10 sorted values: q1 = 3rd (ceil(2.5)) = 2,
+    // q3 = 8th (ceil(7.5)) = 7; IQR = 5 → fences [-5.5, 14.5]
+    assert(r.getString(0) == "value" && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 7.0)
+    assert(r.getDouble(4) == -5.5 && r.getDouble(5) == 14.5)
+    assert(r.getLong(6) == 1L && r.getLong(7) == 1L) // one below, one above
+    // winsorized sum: (-5.5) + (1+…+8=36) + 14.5 = 45.0
+    assert(r.getDouble(8) == 45.0, s"sum_clamped=${r.getDouble(8)}")
+  }
+
+  test("outlierReport is partition-invariant bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map(_ => math.floor(rnd.nextGaussian() * 10000) / 100.0)
+    val d = rows.toDF("value")
+    def rep(p: Int) = FeatureStats.outlierReport(
+      d.repartition(p), NumFeature("value", col("value"), 2)).collect()(0).toSeq
+    assert(rep(1) == rep(13))
+  }
+
+  test("clampOutliers + sigma bounds: flags and winsorizes consistently") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = (Seq(1.0, 2.0, 3.0, 1000.0).map(Option(_)) :+ None).toDF("value")
+    val out = FeatureStats.clampOutliers(d, "value", 0.0, 10.0)
+      .orderBy(col("value").asc_nulls_last).collect()
+    assert(out.map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq ==
+      Seq(1.0, 2.0, 3.0, 10.0, null))
+    assert(out.map(r => if (r.isNullAt(2)) null else r.getBoolean(2)).toSeq ==
+      Seq(false, false, false, true, null))
+    val sb = FeatureStats.outlierBoundsSigma(d, NumFeature("value", col("value"), 2), 1.0)
+      .collect()(0)
+    // mean of {1,2,3,1000} = 251.5; σ = sqrt(sumsq/4 - mean²)
+    val std = math.sqrt((1.0 + 4.0 + 9.0 + 1000000.0) / 4 - 251.5 * 251.5)
+    assert(math.abs(sb.getDouble(2) - (251.5 - std)) < 1e-4)
+    assert(math.abs(sb.getDouble(3) - (251.5 + std)) < 1e-4)
+  }
+
   test("iv: informative feature scores higher than a non-informative one") {
     val spark2 = spark
     import spark2.implicits._
