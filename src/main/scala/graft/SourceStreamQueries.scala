@@ -23,7 +23,7 @@ object SourceStreamQueries {
     * accounting.
     */
   private case class Replay(
-      inDir: java.io.File, staged: DataFrame, delaySec: Long)
+      inDir: java.io.File, staged: DataFrame, delaySec: Long, fedRows: Long)
 
   /** Stage `feed` (schema: conv_id, turn_idx, ts, value) for replay. ONE
     * pass over the (window-bearing) transcript view: all slices written by
@@ -58,26 +58,47 @@ object SourceStreamQueries {
     }
     require(slicePaths.nonEmpty, "replay: the feed selected no rows")
     val staged = spark.read.parquet(slicePaths: _*)
+    // one job for span AND row count (the fed-row accounting every law
+    // query needs) — not two passes over the staged files
     val mm = staged
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        count(lit(1)))
       .collect()(0)
     require(!mm.isNullAt(0) && !mm.isNullAt(1),
       "replay: feed has no non-null timestamps")
     val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
+    val fedRows = mm.getLong(2)
     val delaySec = (maxTs - minTs) / 1000000L + 1L + 60L
-    Seq(0, 1).foreach { k =>
-      val sentTs = new java.sql.Timestamp(
-        (maxTs + (delaySec + 3600L * (k + 1)) * 1000000L) / 1000L)
-      val sStage = new java.io.File(tmp, s"stage_sent_$k")
-      Seq((SentinelConv, k, sentTs, 0.0))
-        .toDF("conv_id", "turn_idx", "ts", "value")
-        .coalesce(1).write.mode("overwrite").parquet(sStage.getPath)
-      val part = sStage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    // THREE sentinels, not two: with maxFilesPerTrigger=2 the batch cut
+    // points depend on the (data-dependent) slice-file count's parity, and
+    // the flush batch must come strictly AFTER the batch whose sentinel
+    // advances the watermark. Sentinel 0 sits at file position n, sentinel 2
+    // at n+2 — with 2-file batches they land in batches floor(n/2) and
+    // floor(n/2)+1, so a later flush-triggering batch exists at ANY parity
+    // (two sentinels could share one final batch and leave the timeouts
+    // unfired).
+    val sStage = new java.io.File(tmp, "stage_sent")
+    (0 until 3).map { k =>
+        (SentinelConv, k,
+          new java.sql.Timestamp(
+            (maxTs + (delaySec + 3600L * (k + 1)) * 1000000L) / 1000L),
+          0.0)
+      }.toDF("conv_id", "turn_idx", "ts", "value")
+      // one write job for all three sentinel files (partitionBy on a
+      // throwaway copy of k splits them — partitionBy STRIPS its column
+      // from the data files, so it must not be a schema column), not one
+      // tiny job each
+      .withColumn("__k", col("turn_idx"))
+      .repartition(1)
+      .write.partitionBy("__k").mode("overwrite").parquet(sStage.getPath)
+    (0 until 3).foreach { k =>
+      val part = new java.io.File(sStage, s"__k=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(inDir, s"zz_sentinel_$k.parquet")
       require(part.renameTo(dst), "sentinel move failed")
       dst.setLastModified(1000000000000L + (slices + k) * 10000L)
     }
-    Replay(inDir, staged, delaySec)
+    Replay(inDir, staged, delaySec, fedRows)
   }
 
   /** Run a streaming transform over the replay into a memory sink; returns
@@ -93,13 +114,19 @@ object SourceStreamQueries {
   private def runToMemorySink(
       spark: SparkSession, r: Replay, tmp: String, label: String)(
       build: DataFrame => DataFrame): String = {
+    // Per-batch fixed cost = state partitions × batches (store
+    // init/commit/snapshot each); both factors are halved vs the r3 shape
+    // (VERDICT r3 item 7): 2 files per trigger still delivers the slices
+    // across separate out-of-order batches, and 2 state partitions cover
+    // the law run's tiny key set (a real deployment sizes this knob to the
+    // stream's key cardinality instead).
     val stream = spark.readStream
       .schema(r.staged.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(r.inDir.getPath)
     val out = build(stream)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     val sinkName = s"tjk_${label}_${java.util.UUID.randomUUID().toString.take(8)}"
     try {
       val q = out.writeStream
@@ -179,7 +206,7 @@ object SourceStreamQueries {
         .orderBy("conv_id")
         .collect()
       spark.catalog.dropTempView(sinkName) // free the memory sink's rows
-      val fed = r.staged.count()
+      val fed = r.fedRows
       val emitted = rows.map(_.getLong(1)).sum
       require(emitted == fed,
         s"stream emitted $emitted of $fed fed rows — watermark finalization lost data")
@@ -220,7 +247,7 @@ object SourceStreamQueries {
         .orderBy("conv_id", "session_start")
         .collect()
       spark.catalog.dropTempView(sinkName)
-      val fed = r.staged.count()
+      val fed = r.fedRows
       val emitted = rows.map(_.getLong(3)).sum
       require(emitted == fed,
         s"session stream covered $emitted of $fed fed rows — lost or unflushed sessions")
