@@ -78,8 +78,10 @@ object Resume {
     * "reads the input once" claim is about THIS method's scans; a `job`
     * whose own plan runs extra input passes (e.g. `rollingAgg`'s default
     * skew detection on large inputs) adds its own — pass
+    * `SkewPolicy.Precomputed` (per-entity counts from the manifest pass) or
     * `SkewPolicy.WindowOnly` inside the job to keep a strict one-scan
-    * budget.
+    * budget; under Auto the session detection cache at least collapses the
+    * per-wave repeats to one job per distinct slice plan.
     *
     * Contract (was implicit, now load-bearing): `job` must be
     * bucket-decomposable — `job(A ∪ B) == job(A) ∪ job(B)` for slices of
