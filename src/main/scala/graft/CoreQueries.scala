@@ -147,23 +147,34 @@ object CoreQueries {
       s"q42 must plan approx_count_distinct over the frame; got:\n$plan")
     // In-query error-bound law (VERDICT r3 item 4): the driver's harness has
     // no rows-only mode, so the accuracy claim must fail HERE, inside the
-    // sweep, not silently. On an md5-derived 1/16 conversation slice the HLL
-    // estimate must track the exact WindowNUnique within 3·rsd of the exact
-    // value (rsd = 0.05 default ⇒ 15%, floor 1 — the same bound SkewSuite
-    // pins). One plan computes both columns: the two window aggs share the
-    // (conv_id, ts) partitioning, so this costs one narrow slice job.
+    // sweep, not silently. On an md5-derived slice (predicate matches hex
+    // chars '3' and 'c' ⇒ ≈1/8 of conversations) the HLL estimate must
+    // track the exact WindowNUnique within 3·rsd of the exact value
+    // (rsd = 0.05 default ⇒ 15%, floor 1 — the same bound SkewSuite pins).
+    // 3·rsd is a STATISTICAL bound, not a guarantee — a correct HLL leaves
+    // ~0.3% of estimates outside 3σ once frames hold enough distincts to
+    // exit exact linear-counting range — so the law tolerates up to 0.5% of
+    // slice rows (floor 5) beyond it instead of hard-failing on the tail of
+    // a healthy estimator. One plan computes both columns: the two window
+    // aggs share the (conv_id, ts) partitioning, so this costs one narrow
+    // slice job.
     val slice = t(spark, dir)
       .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(16)) === 3)
     val both = Rolling.rollingAgg(
       Rolling.approxRollingNunique(slice, "conv_id", "ts", "tool", D1),
       "conv_id", "ts", Seq(RollingSpec("tool", Agg.NUnique, D1)),
       SkewPolicy.WindowOnly)
-    val viol = both.where(
-      abs(col("approx_nunique_tool_86400s") - col("nunique_tool_86400s")) >
-        greatest(lit(1L), ceil(col("nunique_tool_86400s") * 0.15).cast("long")))
-      .count()
-    require(viol == 0L,
-      s"q42 law: $viol slice rows where the HLL estimate deviates > 3·rsd from exact")
+    val law = both.agg(
+        count(lit(1)).as("n"),
+        sum(when(
+          abs(col("approx_nunique_tool_86400s") - col("nunique_tool_86400s")) >
+            greatest(lit(1L), ceil(col("nunique_tool_86400s") * 0.15).cast("long")),
+          1L).otherwise(0L)).as("viol"))
+      .collect()(0)
+    val (n, viol) = (law.getLong(0), law.getLong(1))
+    require(viol <= math.max(5L, n / 200L),
+      s"q42 law: $viol of $n slice rows have the HLL estimate > 3·rsd from exact " +
+        "(tolerance: 0.5%)")
     out
   }
 

@@ -42,12 +42,19 @@ object FeatureStatsQueries {
   /** Collect a tiny report into a local-relation DataFrame so its cached
     * inputs can be unpersisted before returning (the driver contract hands
     * back a DataFrame whose evaluation must not depend on a cache this
-    * method is about to release).
+    * method is about to release). Shared by the report queries here and by
+    * TextVecQueries.annIvf.
     */
-  private def localized(spark: SparkSession, df: DataFrame): DataFrame = {
-    val rows = df.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-  }
+  private[graft] def localized(spark: SparkSession, df: DataFrame): DataFrame =
+    localRelation(spark, df.collect(), df.schema)
+
+  /** For callers that already hold the collected rows (e.g. a law computed
+    * over them) — avoids a second evaluation of the source plan.
+    */
+  private[graft] def localRelation(
+      spark: SparkSession, rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
 
   val featureProfileSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},

@@ -17,10 +17,10 @@ object SourceStreamQueries {
   private val SentinelConv = "~~watermark~~"
 
   /** An out-of-order replay staged on disk: `slices` whole-time-range hash
-    * slices as one file each plus two watermark-sentinel files, mtimes
-    * forcing arrival order (slices first, sentinels last). `staged` reads
-    * the slice files only — sentinel rows never enter the fed-row
-    * accounting.
+    * slices as one file each plus THREE watermark-sentinel files (see the
+    * parity note in [[stageReplay]]), mtimes forcing arrival order (slices
+    * first, sentinels last). `fedRows` counts the slice files only —
+    * sentinel rows never enter the fed-row accounting.
     */
   private case class Replay(
       inDir: java.io.File, staged: DataFrame, delaySec: Long, fedRows: Long)
@@ -160,15 +160,17 @@ object SourceStreamQueries {
     *
     * Replay shape: the transcript slice is split into 3 hash-slices, each
     * spanning the WHOLE time range, written as one file per slice and
-    * streamed with maxFilesPerTrigger=1 in controlled mtime order — so
-    * every micro-batch delivers rows wildly out of event-time order, while
-    * a watermark delay wider than the data's time span keeps them all
-    * admissible (out-of-order but in-watermark). Two sentinel heartbeat
-    * rows on a reserved conv_id arrive last: the first advances the
-    * watermark past every real row (finalizing them), the second triggers
-    * the batch in which the event-time timeouts flush every group's
-    * buffered tail. Sentinels are filtered from the output; every real row
-    * therefore finalizes, and the oracle is simply the batch window SQL.
+    * streamed with maxFilesPerTrigger=2 in controlled mtime order — so
+    * each micro-batch delivers rows wildly out of event-time order relative
+    * to the previous one, while a watermark delay wider than the data's
+    * time span keeps them all admissible (out-of-order but in-watermark).
+    * Three sentinel heartbeat rows on a reserved conv_id arrive last: the
+    * first to be processed advances the watermark past every real row
+    * (finalizing them), and a later sentinel batch — guaranteed to exist at
+    * any slice-file parity by the 3-sentinel argument in [[stageReplay]] —
+    * triggers the event-time timeouts that flush every group's buffered
+    * tail. Sentinels are filtered from the output; every real row therefore
+    * finalizes, and the oracle is simply the batch window SQL.
     */
   def streamingRolling(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -263,8 +263,7 @@ object TextVecQueries {
     val recall = brute.intersect(got).size.toDouble / brute.size
     require(recall >= 0.9,
       f"q23 law: IVF recall@5 = $recall%.3f < 0.9 vs exact brute force")
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), ivf.schema)
-      .orderBy("qid", "rank")
+    FeatureStatsQueries.localRelation(spark, rows, ivf.schema).orderBy("qid", "rank")
   }
 
   // ------------------------------------------------------------ multimodal

@@ -107,10 +107,14 @@ object Rolling {
 
   /** Session-scoped detection-result cache (SURVEY.md §4.2 "reuse, don't
     * re-scan" — VERDICT r3 item 3): keyed by the CANONICALIZED optimized
-    * plan (structural equality, alias/id-invariant) plus (entity,
-    * threshold), so a pipeline composing several rolling calls over the
-    * same input pays ONE detection job, not one per call. Bounded LRU per
-    * session; sessions are weak keys. A stale entry (input files rewritten
+    * plan's semantic hash + node count (alias/id-invariant, and — crucially
+    * — NOT a reference to the plan itself: a cached plan strongly
+    * references its SparkSession through LogicalRelation/HadoopFsRelation,
+    * which would pin the WeakHashMap's weak session key forever) plus
+    * (entity, threshold), so a pipeline composing several rolling calls
+    * over the same input pays ONE detection job, not one per call. Bounded
+    * LRU per session; sessions are weak keys and values hold only small
+    * key lists. A hash collision or a stale entry (input files rewritten
     * under the same plan within one session) only mis-ROUTES — results are
     * identical on either path — and [[clearDetectionCache]] resets
     * explicitly; [[SkewPolicy.Precomputed]] skips detection entirely when
@@ -118,7 +122,7 @@ object Rolling {
     */
   private val detectionCache =
     new java.util.WeakHashMap[SparkSession,
-      java.util.LinkedHashMap[(Any, String, Long), Seq[Any]]]()
+      java.util.LinkedHashMap[(Int, Int, String, String, Long), Seq[Any]]]()
   private val DetectionCacheMax = 64
 
   /** Test pin: number of detection JOBS actually run (cache misses that
@@ -129,25 +133,27 @@ object Rolling {
   def clearDetectionCache(spark: SparkSession): Unit =
     detectionCache.synchronized { detectionCache.remove(spark) }
 
-  private[graft] def detectHotKeysCached(
-      df: DataFrame,
-      entity: String,
-      threshold: Long): Seq[Any] = {
-    if (threshold <= 0L) return Nil
+  private def cachedKeys(
+      df: DataFrame, kind: String, entity: String, threshold: Long)(
+      compute: => Seq[Any]): Seq[Any] = {
     val spark = df.sparkSession
-    val key = (df.queryExecution.optimizedPlan.canonicalized, entity, threshold)
+    val canon = df.queryExecution.optimizedPlan.canonicalized
+    // (semanticHash, node count) — two independent cheap fingerprints; a
+    // simultaneous collision only affects routing, never results
+    val key = (canon.semanticHash(), canon.collect { case _ => 1 }.sum,
+      kind, entity, threshold)
     detectionCache.synchronized {
       val m = detectionCache.computeIfAbsent(spark, _ =>
-        new java.util.LinkedHashMap[(Any, String, Long), Seq[Any]](16, 0.75f, true) {
+        new java.util.LinkedHashMap[(Int, Int, String, String, Long), Seq[Any]](16, 0.75f, true) {
           override def removeEldestEntry(
-              e: java.util.Map.Entry[(Any, String, Long), Seq[Any]]): Boolean =
+              e: java.util.Map.Entry[(Int, Int, String, String, Long), Seq[Any]]): Boolean =
             size > DetectionCacheMax
         })
       Option(m.get(key))
     } match {
       case Some(hit) => hit
       case None =>
-        val res = detectHotKeys(df, entity, threshold)
+        val res = compute
         detectionCache.synchronized {
           Option(detectionCache.get(spark)).foreach(_.put(key, res))
         }
@@ -155,10 +161,22 @@ object Rolling {
     }
   }
 
+  private[graft] def detectHotKeysCached(
+      df: DataFrame,
+      entity: String,
+      threshold: Long): Seq[Any] = {
+    if (threshold <= 0L) return Nil
+    cachedKeys(df, "detect", entity, threshold)(detectHotKeys(df, entity, threshold))
+  }
+
   /** Hot keys from PRECOMPUTED per-entity counts ([[SkewPolicy.Precomputed]]):
-    * no detection scan at all — the caller's lineage/manifest aggregation is
-    * the stats source (SURVEY.md §4.2). Exact counts ⇒ exact threshold, no
-    * sampling cutoff.
+    * no detection scan of the INPUT at all — the caller's lineage/manifest
+    * aggregation is the stats source (SURVEY.md §4.2). Exact counts ⇒ exact
+    * threshold, no sampling cutoff. The threshold filter still evaluates
+    * the `counts` plan once, so callers should hand over a MATERIALIZED
+    * frame (persisted, or read back from the manifest files) — and the
+    * session cache above covers repeated calls with the same counts plan
+    * either way.
     */
   private[graft] def hotKeysFromCounts(
       counts: DataFrame,
@@ -166,13 +184,15 @@ object Rolling {
       countCol: String,
       threshold: Long): Seq[Any] = {
     if (threshold <= 0L) return Nil
-    val rows = counts
-      .where(col(countCol) >= threshold)
-      .orderBy(col(countCol).desc)
-      .limit(MaxHotKeys)
-      .select(col(entity))
-      .collect()
-    rows.map(_.get(0)).toSeq
+    cachedKeys(counts, s"precomputed:$countCol", entity, threshold) {
+      counts
+        .where(col(countCol) >= threshold)
+        .orderBy(col(countCol).desc)
+        .limit(MaxHotKeys)
+        .select(col(entity))
+        .collect()
+        .map(_.get(0)).toSeq
+    }
   }
 
   /** Hot-entity detection: per-entity count over the entity column only

@@ -65,7 +65,10 @@ object SkewPolicy {
   /** Route from CALLER-SUPPLIED per-entity counts — the O10 lineage/manifest
     * aggregation shape (SURVEY.md §4.2 "reuse, don't re-scan"): `counts`
     * must carry the entity column plus `countCol` (e.g.
-    * `df.groupBy(entity).count()` materialized once by the pipeline). No
+    * `df.groupBy(entity).count()` — hand over a MATERIALIZED frame: the
+    * threshold filter evaluates the counts plan, so a lazy unpersisted
+    * groupBy would re-scan the input, which is the cost this policy exists
+    * to avoid; the session cache covers repeated calls either way). No
     * detection scan runs at all; entities with count ≥ the session
     * `spark.graft.rolling.hotThreshold` route to the chunked path. Exact
     * counts, exact threshold — no sampling cutoff. Inside
