@@ -117,6 +117,52 @@ class FeatureStatsSuite extends SparkTestBase {
     assert(rep(1) == rep(13))
   }
 
+  test("outlierReport matches a naive in-memory oracle on random data, every seed") {
+    val spark2 = spark
+    import spark2.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // heavy-tailed 2-decimal values + nulls; occasional negative
+      val vals: Seq[Option[Double]] = (1 to 400).map { _ =>
+        if (rnd.nextDouble() < 0.1) None
+        else {
+          val base = rnd.nextGaussian() * 50
+          val v = if (rnd.nextDouble() < 0.05) base * 100 else base
+          Some(math.round(v * 100) / 100.0)
+        }
+      }
+      val r = FeatureStats.outlierReport(vals.toDF("value"),
+        NumFeature("value", col("value"), 2)).collect()(0)
+      // naive oracle in exact integer cents
+      val cents = vals.flatten.map(v => math.round(v * 100)).sorted
+      val n = cents.length
+      def q(p: Double) = cents(math.ceil(p * n).toInt - 1)
+      val (q1c, q3c) = (q(0.25), q(0.75))
+      val (lo, hi) = (q1c - 1.5 * (q3c - q1c), q3c + 1.5 * (q3c - q1c))
+      val below = cents.count(_ < lo)
+      val above = cents.count(_ > hi)
+      val s2 = cents.map(c => math.round(math.max(math.min(c.toDouble, hi), lo) * 2)).sum
+      assert(r.getLong(1) == n.toLong, s"n seed=$seed")
+      assert(r.getDouble(2) == q1c / 100.0 && r.getDouble(3) == q3c / 100.0, s"quartiles seed=$seed")
+      assert(r.getLong(6) == below.toLong && r.getLong(7) == above.toLong, s"counts seed=$seed")
+      val expSum = BigDecimal(s2 / 2.0 / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(8) == expSum, s"sum_clamped seed=$seed: ${r.getDouble(8)} vs $expSum")
+    }
+  }
+
+  test("outlierReport: zero-IQR degenerate input clips nothing") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq.fill(20)(7.25).toDF("value")
+    val r = FeatureStats.outlierReport(d, NumFeature("value", col("value"), 2))
+      .collect()(0)
+    assert(r.getDouble(2) == 7.25 && r.getDouble(3) == 7.25)
+    assert(r.getDouble(4) == 7.25 && r.getDouble(5) == 7.25)
+    assert(r.getLong(6) == 0L && r.getLong(7) == 0L)
+    assert(r.getDouble(8) == 145.0) // 20 × 7.25
+  }
+
   test("clampOutliers + sigma bounds: flags and winsorizes consistently") {
     val spark2 = spark
     import spark2.implicits._
