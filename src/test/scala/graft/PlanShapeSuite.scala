@@ -123,6 +123,21 @@ class PlanShapeSuite extends SparkTestBase {
       s"chunk shuffle key wrong: $exch")
   }
 
+  test("outlier report: bounds broadcast to the clamp pass, raw rows never range-sorted") {
+    // The q48 scale shape: grouped integer counts (one hash shuffle),
+    // quartiles via a window over the TINY aggregate, then the 1-row bounds
+    // joined back by BROADCAST — a shuffle or a range sort of the raw rows
+    // here would be the O(n log n)-over-100TB anti-pattern the operator
+    // exists to avoid.
+    val plan = graft.tjk.FeatureStats.outlierReport(turns,
+        graft.tjk.FeatureStats.NumFeature("value", col("value"), 2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"bounds not broadcast:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"raw rows range-sorted:\n$plan")
+  }
+
   test("parquet scan prunes columns (fat text column never read when unused)") {
     val t = Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .groupBy("lang").agg(count(lit(1)).as("n"))
