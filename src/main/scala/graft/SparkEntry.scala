@@ -65,6 +65,7 @@ object SparkEntry {
     "q47_feature_iv"        -> (FeatureStatsQueries.featureIv _),
     "q48_outlier_bounds"    -> (FeatureStatsQueries.outlierReport _),
     "q49_asof_drift"        -> (FeatureStatsQueries.asofDrift _),
+    "q50_media_decode"      -> (TextVecQueries.mediaDecode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +123,6 @@ object SparkEntry {
     "q47_feature_iv"        -> FeatureStatsQueries.featureIvSql,
     "q48_outlier_bounds"    -> FeatureStatsQueries.outlierReportSql,
     "q49_asof_drift"        -> FeatureStatsQueries.asofDriftSql,
+    "q50_media_decode"      -> TextVecQueries.mediaDecodeSql,
   )
 }

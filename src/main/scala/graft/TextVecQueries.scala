@@ -306,6 +306,42 @@ object TextVecQueries {
       .orderBy("doc_id")
   }
 
+  /** q50 — REAL media decode end-to-end (upgrades the r3 "decode stubbed"
+    * partial as far as the container allows): per doc, a 16×16 grayscale
+    * PNG (JDK ImageIO — actual DEFLATE compression) and a mono PCM16
+    * RIFF/WAV are ENCODED distributed, then DECODED back through the
+    * batched per-partition pipeline (ImageIO read + RIFF chunk walk), and
+    * the decoded statistics are checked bit-exactly: pixels/samples derive
+    * from the (ASCII-guarded) text bytes, so DuckDB recomputes every
+    * decoded figure from the text. A decoder bug — wrong padding, wrong
+    * endianness, off-by-one in the chunk walk — breaks the hash compare.
+    */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.decodeAvFeatures(
+        MediaOps.syntheticAvMedia(asciiGuarded(docs(spark, dir))))
+      .toDF()
+      .select(col("doc_id"), col("img_w"), col("img_h"),
+        round(col("img_mean"), 6).as("img_mean"),
+        col("n_samples"), col("sample_rate"),
+        round(col("dur_ms"), 6).as("dur_ms"),
+        round(col("amp_mean"), 6).as("amp_mean"))
+      .orderBy("doc_id")
+
+  val mediaDecodeSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split_regex(text, ''), x -> ascii(x)) AS bs,
+      |    CAST(length(text) AS BIGINT) AS n
+      |  FROM documents)
+      |SELECT doc_id,
+      |  16 AS img_w, 16 AS img_h,
+      |  round(coalesce(list_aggregate(bs[1:256], 'sum'), 0) / 256.0, 6) AS img_mean,
+      |  n AS n_samples, 8000 AS sample_rate,
+      |  round(n * 1000.0 / 8000, 6) AS dur_ms,
+      |  round(coalesce(list_aggregate(
+      |    list_transform(bs, x -> abs((x - 128) * 256)), 'sum'), 0) * 1.0 / n, 6) AS amp_mean
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val mediaStatsSql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

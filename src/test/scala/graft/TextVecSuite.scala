@@ -264,6 +264,42 @@ class TextVecSuite extends SparkTestBase {
     feats.foreach(f => assert(again(f.doc_id) == f.frame_hashes))
   }
 
+  test("REAL decode: PNG and WAV round-trip exact stats, chunk walk robust") {
+    // PNG: ImageIO encode (real DEFLATE) → decode; mean of the decoded
+    // raster must equal the exact zero-padded byte mean.
+    val rnd = new scala.util.Random(3)
+    val pixels = Array.fill(100)(rnd.nextInt(256).toByte)
+    val (w, h, mean) = MediaOps.decodeImage(MediaOps.pngGray(pixels))
+    assert(w == 16 && h == 16)
+    assert(mean == pixels.map(_ & 0xff).sum.toDouble / 256)
+    // WAV: PCM16 round-trip, exact mean |amplitude|, including Short.MinValue
+    // (whose abs overflows Short — the parser must widen to Long first).
+    val samples = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue, 12345)
+    val wav = MediaOps.wavPcm16(samples, 8000)
+    val (n, rate, amp) = MediaOps.decodeWav(wav)
+    assert(n == 6L && rate == 8000)
+    assert(amp == samples.map(s => math.abs(s.toLong)).sum.toDouble / 6)
+    // chunk walker skips an unknown (odd-sized, word-padded) chunk between
+    // fmt and data
+    val extra = {
+      val bb = java.nio.ByteBuffer.allocate(wav.length + 8 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(wav, 0, 36) // RIFF..fmt chunk end
+      bb.put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0))
+      bb.put(wav, 36, wav.length - 36)
+      val out = bb.array()
+      // fix the RIFF size field
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, out.length - 8)
+      out
+    }
+    assert(MediaOps.decodeWav(extra) == ((n, rate, amp)))
+    // a truncated/garbage blob fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      MediaOps.decodeWav("nonsense bytes here".getBytes("US-ASCII"))
+    }
+  }
+
   test("text stats: token counts and langid on a handmade doc") {
     val d = Seq((1L, "the cat of the house is in the garden"),
                 (2L, "xyz qqq zzz")).toDF("doc_id", "text")
