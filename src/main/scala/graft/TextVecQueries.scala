@@ -338,9 +338,11 @@ object TextVecQueries {
       |  round(coalesce(list_aggregate(bs[1:256], 'sum'), 0) / 256.0, 6) AS img_mean,
       |  n AS n_samples, 8000 AS sample_rate,
       |  round(n * 1000.0 / 8000, 6) AS dur_ms,
-      |  round(coalesce(list_aggregate(
-      |    list_transform(bs, x -> abs((x - 128) * 256)), 'sum'), 0) * 1.0 / n, 6) AS amp_mean
+      |  coalesce(round(coalesce(list_aggregate(
+      |    list_transform(bs, x -> abs((x - 128) * 256)), 'sum'), 0) * 1.0 / n, 6), 0.0) AS amp_mean
       |FROM c ORDER BY doc_id""".stripMargin
+  // (outer coalesce: x/0 is NULL in DuckDB while decodeWav returns 0.0 for
+  // an empty sample set — an empty text must not diverge the engines)
 
   val mediaStatsSql: String =
     """SELECT doc_id,

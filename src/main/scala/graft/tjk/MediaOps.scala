@@ -126,8 +126,9 @@ object MediaOps {
     (w, h, sum.toDouble / (w.toLong * h))
   }
 
-  /** Decode RIFF/WAV PCM16 by walking the chunk list (defensive: fmt before
-    * data not assumed, unknown chunks skipped): (n_samples, sample_rate,
+  /** Decode RIFF/WAV PCM16 by walking the chunk list (defensive: unknown
+    * chunks skipped, malformed sizes and data-before-fmt rejected LOUDLY —
+    * never a hang or an untyped buffer underflow): (n_samples, sample_rate,
     * mean |amplitude| as an exact integer-sum quotient).
     */
   private[graft] def decodeWav(blob: Array[Byte]): (Long, Int, Double) = {
@@ -142,6 +143,12 @@ object MediaOps {
     while (bb.remaining() >= 8) {
       val id = fourcc(); val size = bb.getInt()
       val next = bb.position() + size + (size & 1) // chunks are word-aligned
+      // An unvalidated size field is the classic parser trap: a negative
+      // size would move position() BACKWARD (infinite re-parse of the same
+      // chunk = hung task), an oversized one would die as an untyped
+      // BufferUnderflowException mid-read.
+      require(size >= 0 && next - (size & 1) <= bb.limit(),
+        s"malformed RIFF chunk '$id': size $size at ${bb.position() - 8}")
       id match {
         case "fmt " =>
           require(bb.getShort() == 1, "not PCM")
@@ -172,9 +179,11 @@ object MediaOps {
     val ds = docs.select(col("doc_id").cast("long"), encode(col("text"), "UTF-8"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file per encode
       it.map { case (id, bytes) =>
         val samples = bytes.map(b => (((b & 0xff) - 128) * 256).toShort)
-        AvRow(id, pngGray(bytes.take(ImgSide * ImgSide)), wavPcm16(samples, WavRate))
+        // pngGray's copyOf both truncates and zero-pads — no pre-take
+        AvRow(id, pngGray(bytes), wavPcm16(samples, WavRate))
       }
     }(Encoders.product[AvRow]).toDF()
   }
@@ -186,6 +195,7 @@ object MediaOps {
   def decodeAvFeatures(media: DataFrame, batchSize: Int = 64): Dataset[AvFeatures] = {
     val ds = media.as(Encoders.product[AvRow])
     ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
       it.grouped(batchSize).flatMap { batch =>
         // real pipeline: decoder/codec context init once per batch here
         batch.iterator.map { r =>

@@ -298,6 +298,27 @@ class TextVecSuite extends SparkTestBase {
     intercept[IllegalArgumentException] {
       MediaOps.decodeWav("nonsense bytes here".getBytes("US-ASCII"))
     }
+    // a NEGATIVE chunk size must fail loudly too — unguarded it moves the
+    // buffer position BACKWARD and the chunk walk re-parses the same header
+    // forever (a hung executor, the worst failure mode)
+    val negChunk = {
+      val bb = java.nio.ByteBuffer.allocate(20)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(12)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("JUNK".getBytes("US-ASCII")).putInt(-8)
+      bb.array()
+    }
+    intercept[IllegalArgumentException] { MediaOps.decodeWav(negChunk) }
+    // an oversized data chunk fails as the typed error, not BufferUnderflow
+    val oversize = {
+      val base = MediaOps.wavPcm16(Array[Short](1, 2), 8000)
+      // inflate the data chunk's size field past the buffer end
+      java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(40, 1000000)
+      base
+    }
+    intercept[IllegalArgumentException] { MediaOps.decodeWav(oversize) }
   }
 
   test("text stats: token counts and langid on a handmade doc") {
