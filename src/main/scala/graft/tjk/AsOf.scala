@@ -45,6 +45,7 @@ object AsOf {
       tolerance: Option[Duration] = None,
       strict: Boolean = false,
       matchedTsCol: Option[String] = None): DataFrame = {
+    requireMatchedTsColFree(matchedTsCol, spine, payload)
     val (sp, ev, spTag) = tagged(spine, events, entity, spineTs, eventTs, payload, tieCol, strict)
     val unioned = sp.unionByName(ev)
     val w = Window.partitionBy(col("__e"))
@@ -144,6 +145,7 @@ object AsOf {
     import org.apache.spark.sql.tjkbridge.Bridge
     val collisions = payload.toSet.intersect(spine.columns.toSet)
     require(collisions.isEmpty, s"payload collides with spine columns: $collisions")
+    requireMatchedTsColFree(matchedTsCol, spine, payload)
     // Reserved internal attribute names: a spine __ltm would be silently
     // replaced by withColumn below; a payload __re/__rtm/__rtie would shadow
     // the right side's join attributes.
@@ -204,6 +206,14 @@ object AsOf {
       strict: Boolean): (DataFrame, DataFrame, Int) = {
     val collisions = payload.toSet.intersect(spine.columns.toSet)
     require(collisions.isEmpty, s"payload collides with spine columns: $collisions")
+    // __mts is the payload struct's matched-ts slot: a payload column of
+    // that name would create a duplicate struct field and surface later as
+    // an opaque AMBIGUOUS_REFERENCE_TO_FIELDS from finish()'s getField —
+    // while the index-based merge path would silently ACCEPT it, letting
+    // the two "identical results" paths diverge. Reject at the boundary,
+    // like asofJoinNative does for its reserved names.
+    require(!payload.contains("__mts"),
+      "payload column name __mts is reserved by asofJoin")
     val evTag = if (strict) 1 else 0
     val spTag = 1 - evTag
 
@@ -228,6 +238,19 @@ object AsOf {
       struct(spine.columns.map(col): _*).as("__row"))
     (sp, ev, spTag)
   }
+
+  /** matchedTsCol must not shadow an existing output column — unguarded it
+    * would produce a DataFrame with two same-named columns that fails with
+    * AMBIGUOUS_REFERENCE only at the first downstream use, far from here.
+    */
+  private def requireMatchedTsColFree(
+      matchedTsCol: Option[String],
+      spine: DataFrame,
+      payload: Seq[String]): Unit =
+    matchedTsCol.foreach { n =>
+      require(!spine.columns.contains(n) && !payload.contains(n),
+        s"matchedTsCol '$n' collides with a spine or payload column")
+    }
 
   private def applyTolerance(matched: DataFrame, tolerance: Option[Duration]): DataFrame =
     tolerance match {

@@ -19,6 +19,15 @@ object Offsets {
       entity: String,
       order: Seq[String],
       specs: Seq[(String, Int)]): DataFrame = {
+    // Spark's lag with a NEGATIVE offset is lead: unchecked, a mistyped
+    // spec would smuggle future data into a feature set under a "lag_"
+    // name, bypassing the __leaky_ refusal mechanism entirely. The offsets
+    // are the leakage boundary, so they are validated, not trusted.
+    specs.foreach { case (c, n) =>
+      require(n > 0, s"lags: offset for '$c' must be positive, got $n " +
+        "(a negative lag is a future-looking lead — use Offsets.leads, " +
+        "whose output carries the __leaky_ prefix)")
+    }
     val w = Window.partitionBy(col(entity)).orderBy(order.map(col): _*)
     specs.foldLeft(df) { case (d, (c, n)) =>
       d.withColumn(s"lag_${c}_$n", lag(col(c), n).over(w))
@@ -30,6 +39,11 @@ object Offsets {
       entity: String,
       order: Seq[String],
       specs: Seq[(String, Int)]): DataFrame = {
+    specs.foreach { case (c, n) =>
+      require(n > 0, s"leads: offset for '$c' must be positive, got $n " +
+        "(a negative lead is a harmless lag — use Offsets.lags, so it is " +
+        "not mislabeled __leaky_)")
+    }
     val w = Window.partitionBy(col(entity)).orderBy(order.map(col): _*)
     specs.foldLeft(df) { case (d, (c, n)) =>
       d.withColumn(s"__leaky_lead_${c}_$n", lead(col(c), n).over(w))

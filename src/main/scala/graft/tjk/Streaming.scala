@@ -21,6 +21,9 @@ object Streaming {
 
   /** Streaming session aggregates over an (append) stream of turns.
     * `df` must be a streaming DataFrame with the transcript schema.
+    * DELEGATES to the batch form — the "one code path, parity by
+    * construction" claim above is kept true structurally, not by keeping
+    * two copies in sync by hand; only the watermark differs.
     */
   def sessionAggStream(
       df: DataFrame,
@@ -28,13 +31,8 @@ object Streaming {
       tsCol: String,
       gapExpr: String,
       watermark: String): DataFrame =
-    df.withWatermark(tsCol, watermark)
-      .groupBy(col(entity), session_window(col(tsCol), gapExpr))
-      .agg(
-        min(col(tsCol)).as("session_start"),
-        max(col(tsCol)).as("session_end"),
-        count(lit(1)).as("n_turns"))
-      .withColumnRenamed("session_window", "session_bounds")
+    Sessionize.sessionWindowAgg(
+      df.withWatermark(tsCol, watermark), entity, tsCol, gapExpr)
 
   /** Streaming exact dedup within the watermark horizon — the incremental
     * counterpart of TextOps.exactDedup for continuously-arriving documents.

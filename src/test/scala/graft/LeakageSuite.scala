@@ -84,6 +84,19 @@ class LeakageSuite extends SparkTestBase {
     assert(df.columns.contains("__leaky_lead_value_1"))
   }
 
+  test("negative offsets are refused: a -1 'lag' is a lead in disguise") {
+    // Spark's lag(col, -1) == lead(col, 1): unchecked it would smuggle
+    // FUTURE data into a feature set under a lag_ name, bypassing the
+    // __leaky_ refusal mechanism — the leakage boundary validates offsets.
+    val base = turnsDf(Gen.turnsSeq(42L, 2, 10))
+    intercept[IllegalArgumentException] {
+      Offsets.lags(base, "conv_id", Seq("turn_idx", "ts"), Seq(("value", -1)))
+    }
+    intercept[IllegalArgumentException] {
+      Offsets.leads(base, "conv_id", Seq("turn_idx", "ts"), Seq(("value", -1)))
+    }
+  }
+
   test("entity holdout never straddles: a conversation lands wholly in one split") {
     val turns = turnsDf(Gen.turnsSeq(44L, 40, 15))
     val split = Split.entityHoldout(turns, "conv_id", testFraction = 0.3)

@@ -42,6 +42,23 @@ class SessionizeSuite extends SparkTestBase {
     }
   }
 
+  test("sessionAgg keeps a NULL entity's sessions distinct (no concat collapse)") {
+    // session_id = concat(entity, '#', seq) is null for every null-entity
+    // row; grouping by that string would collapse ALL of the entity's
+    // sessions into one row. Grouping is by session_seq instead.
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(0L, 1L, 7200L, 7201L, 14400L).zipWithIndex.map {
+      case (s, i) => (null: String, i, new java.sql.Timestamp(1700000000000L + s * 1000L))
+    }
+    val df = rows.toDF("conv_id", "turn_idx", "ts")
+    val out = Sessionize.sessionAgg(df, "conv_id", "ts", "turn_idx",
+      java.time.Duration.ofMinutes(30)).orderBy("session_start").collect()
+    assert(out.length == 3, s"expected 3 sessions, got ${out.length}")
+    assert(out.map(_.getLong(4)).toSeq == Seq(2L, 2L, 1L))
+    assert(out.forall(_.isNullAt(1))) // session_id stays null for null entity
+  }
+
   test("sessionAgg bounds: gaps within session <= gap, session count matches") {
     val turns = Gen.turnsSeq(45L, 5, 60)
     val aggs = Sessionize.sessionAgg(turnsDf(turns), "conv_id", "ts", "turn_idx", GAP)
