@@ -23,8 +23,15 @@ final class ParquetIO(root: String) extends TableIO {
   }
   override def read(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(path(name))
-  override def write(df: DataFrame, name: String): Unit =
+  override def write(df: DataFrame, name: String): Unit = {
+    // read() PREFERS $root/<name>.parquet when both exist — writing the
+    // directory form next to a same-named testdata file would make this
+    // write silently invisible to every subsequent read. Fail loudly.
+    require(!new java.io.File(s"$root/$name.parquet").exists(),
+      s"write('$name') would be shadowed by the existing $name.parquet " +
+        "file that read() prefers — remove it or write under another name")
     df.write.mode("overwrite").parquet(s"$root/$name")
+  }
   override def exists(spark: SparkSession, name: String): Boolean =
     new java.io.File(path(name)).exists()
 }
@@ -88,43 +95,52 @@ final class SnapshotIO(root: String) extends TableIO {
     spark.read.parquet(snapDir(name, snapshot).getPath)
   }
 
-  override def write(df: DataFrame, name: String): Unit = {
-    // Allocate PAST any orphan directories an aborted commit left behind
-    // (Iceberg likewise retries with a fresh snapshot id): next = 1 + the
-    // max of the committed pointer and every snap_* dir on disk. Orphans
-    // stay unreferenced and invisible; they never block a later commit.
-    val onDisk = Option(tableDir(name).listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^snap_(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-    val committed = snapshots(name)
-    val next = ((0L +: committed) ++ onDisk).max + 1L
-    df.write.mode("errorifexists").parquet(snapDir(name, next).getPath)
-    // Optimistic-concurrency check, mirroring Iceberg's compare-and-swap
-    // commit: re-read the log after the (errorifexists-serialized) snapshot
-    // write; if it moved past what this commit was based on, abort — leaving
-    // snap_<next> as an invisible orphan — instead of replacing the log and
-    // silently dropping the other writer's commit. This is check-then-act
-    // over a plain filesystem, so a window remains between the re-read and
-    // the move; real Iceberg closes it with the catalog's atomic CAS, which
-    // is exactly what the production swap behind TableIO.forRoot buys.
-    // Within one JVM the window is closed by a JVM-global commit lock —
-    // NOT `this.synchronized`: two writers naturally construct separate
-    // SnapshotIO instances for the same root, so an instance monitor would
-    // not serialize them.
+  /** The JVM-global commit lock covers the WHOLE write — snapshot-id
+    * allocation, the data write, and the pointer swap — not just the swap:
+    * with allocation outside the lock, two same-JVM writers could both
+    * read the same log state, pick the same `next`, and CO-WRITE one
+    * snapshot dir (Spark's errorifexists is check-then-act, and the two
+    * jobs' part files have distinct UUIDs, so the dir would end up a torn
+    * UNION of both dataframes — and the survivor would then COMMIT it).
+    * Coarse by design: this is the in-sandbox test double, and the
+    * correctness claim ("readers see the old snapshot or the new one,
+    * never a torn one") outranks write concurrency. NOT
+    * `this.synchronized` — two writers naturally construct separate
+    * SnapshotIO instances for the same root.
+    */
+  override def write(df: DataFrame, name: String): Unit =
     SnapshotIO.commitLock.synchronized {
-    val nowCommitted = snapshots(name)
-    if (nowCommitted != committed)
-      throw new java.util.ConcurrentModificationException(
-        s"concurrent commit to $name: log advanced from $committed to " +
-          s"$nowCommitted while snapshot $next was being written; retry")
-    val tmp = new java.io.File(tableDir(name), s"_hint_tmp_$next")
-    java.nio.file.Files.writeString(tmp.toPath,
-      ("v2" +: (committed :+ next).map(_.toString)).mkString("\n"))
-    // Atomic pointer swap — the commit point.
-    java.nio.file.Files.move(tmp.toPath, hintFile(name).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // Allocate PAST any orphan directories an aborted commit left behind
+      // (Iceberg likewise retries with a fresh snapshot id): next = 1 + the
+      // max of the committed pointer and every snap_* dir on disk. Orphans
+      // stay unreferenced and invisible; they never block a later commit.
+      val onDisk = Option(tableDir(name).listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^snap_(\\d+)$".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
+      val committed = snapshots(name)
+      val next = ((0L +: committed) ++ onDisk).max + 1L
+      df.write.mode("errorifexists").parquet(snapDir(name, next).getPath)
+      // Optimistic-concurrency check against writers OUTSIDE this JVM
+      // (cross-process), mirroring Iceberg's compare-and-swap commit:
+      // re-read the log after the snapshot write; if it moved past what
+      // this commit was based on, abort — leaving snap_<next> as an
+      // invisible orphan — instead of replacing the log and silently
+      // dropping the other writer's commit. Check-then-act over a plain
+      // filesystem leaves a cross-process window; real Iceberg closes it
+      // with the catalog's atomic CAS, which is exactly what the
+      // production swap behind TableIO.forRoot buys.
+      val nowCommitted = snapshots(name)
+      if (nowCommitted != committed)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit to $name: log advanced from $committed to " +
+            s"$nowCommitted while snapshot $next was being written; retry")
+      val tmp = new java.io.File(tableDir(name), s"_hint_tmp_$next")
+      java.nio.file.Files.writeString(tmp.toPath,
+        ("v2" +: (committed :+ next).map(_.toString)).mkString("\n"))
+      // Atomic pointer swap — the commit point.
+      java.nio.file.Files.move(tmp.toPath, hintFile(name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-  }
 
   override def exists(spark: SparkSession, name: String): Boolean =
     currentSnapshot(name).isDefined

@@ -127,9 +127,15 @@ object TextOps {
 
   // ------------------------------------------------------------ exact dedup
 
-  /** Canonical-id mapping per exact-content group (md5 of raw bytes). */
+  /** Canonical-id mapping per exact-content group (md5 of raw bytes).
+    * The fingerprint subplan feeds BOTH sides of the group join — persist
+    * it (id+hash only, tiny vs the corpus) so the full-text scan + md5 runs
+    * once, not once per side. Same branch-point discipline as
+    * [[ngramJaccardPairs]]; LRU-evictable.
+    */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val fp = docs.select(col(idCol), md5(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = fp.groupBy("fp").agg(
       min(col(idCol)).as("canonical_id"),
       count(lit(1)).as("group_size"))
@@ -205,7 +211,12 @@ object TextOps {
     // `.unpersist()` after consuming the result.
     val sh = shingles(docs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hot is tiny by construction but its PLAN is a full-corpus groupBy
+    // over the shingle fan-out — unpersisted it would re-run for each of
+    // its three consumers (the isEmpty probe, the anti-join, the hot-part
+    // join): three full shuffles for a set that fits in memory.
     val hot = hotShingles(sh, maxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One tiny probe job: on a corpus with NO hot shingle (df ≤ cap
     // everywhere — most corpora most of the time), the anti-join and the
     // whole hot-part machinery are identities over empty sets; skip their

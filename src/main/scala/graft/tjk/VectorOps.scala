@@ -33,8 +33,16 @@ object VectorOps {
       lit(0.0),
       (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Zero-norm convention (shared by EVERY cosine path in the library, see
+    * expressions.CosineSimilarity): similarity involving an all-zero vector
+    * is 0.0. The `when` guard also keeps Spark 4's default ANSI mode from
+    * throwing DIVIDE_BY_ZERO (the division only evaluates on the non-zero
+    * branch).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** Exact top-k by cosine for each query vector. Output:
     * (qid, vid, cos, rank); rank deterministic via (rounded cos desc, vid).
@@ -183,7 +191,10 @@ object VectorOps {
         while (j < b.length) {
           val (idb, eb) = b(j)
           if (idb > ida) {
-            val raw = dotPrim(ea, eb) / (na * bn(j))
+            // zero-norm ⇒ 0.0, matching the library-wide convention (raw
+            // NaN would silently DROP here while other paths kept the row)
+            val den = na * bn(j)
+            val raw = if (den == 0.0) 0.0 else dotPrim(ea, eb) / den
             if (raw >= rawGate) {
               val cos = round6(raw)
               if (cos >= threshold) out += ((ida, idb, cos))
@@ -238,7 +249,8 @@ object VectorOps {
           while (i < q.length) {
             val (qid, qe) = q(i)
             if (vid != qid) {
-              val cos = round6(dotPrim(qe, ve) / (qn(i) * nv))
+              val den = qn(i) * nv // zero-norm ⇒ 0.0 (library convention)
+              val cos = if (den == 0.0) 0.0 else round6(dotPrim(qe, ve) / den)
               val h = heaps(i)
               if (h.size < k) h.enqueue((qid, vid, cos))
               else if (ord.lt((qid, vid, cos), h.head)) { h.dequeue(); h.enqueue((qid, vid, cos)) }

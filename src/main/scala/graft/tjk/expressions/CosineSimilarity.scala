@@ -21,6 +21,15 @@ import org.apache.spark.sql.{Column, SparkSession}
   *
   * Null semantics: null array → null; any null element → null; mismatched
   * lengths → error (dimension bug, fail loudly).
+  *
+  * Zero-norm semantics (stated — every cosine path in the library follows
+  * the SAME convention): an all-zero vector has no direction, so its
+  * similarity to anything is defined as 0.0. Without the guard the three
+  * implementations would disagree three ways on the same input: this
+  * expression would emit NaN (which Spark sorts ABOVE every real value —
+  * a zero vector would rank as everyone's #1 neighbor), the HOF form
+  * would throw DIVIDE_BY_ZERO under Spark 4's default ANSI mode, and the
+  * primitive test path would silently drop the pair.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -56,7 +65,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -82,7 +92,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |if (!${ev.isNull}) {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  final double ${dot}_den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ${dot}_den == 0.0 ? 0.0 : $dot / ${dot}_den;
          |}
        """.stripMargin
     })

@@ -45,6 +45,37 @@ class CosineExprSuite extends SparkTestBase {
     assert(withNullElem.isNullAt(0))
   }
 
+  test("zero-norm vectors: every cosine path agrees on 0.0 (no NaN, no throw, no drop)") {
+    NativeFunctions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    val zero = Seq(0.0f, 0.0f); val unit = Seq(1.0f, 0.0f)
+    // native expression (interpreted + codegen path): 0.0, not NaN — NaN
+    // would sort ABOVE every real cosine and rank the zero vector #1
+    val nat = Seq((zero, unit)).toDF("a", "b")
+      .selectExpr("tjk_cosine(a, b) AS c").collect()(0)
+    assert(!nat.isNullAt(0) && nat.getDouble(0) == 0.0)
+    // HOF form: must not DIVIDE_BY_ZERO under ANSI
+    val hof = Seq((zero, unit)).toDF("a", "b")
+      .select(VectorOps.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(hof.getDouble(0) == 0.0)
+    // fast top-k: the zero corpus vector appears with cos 0.0 (not NaN-#1,
+    // not dropped) and the zero QUERY gets all-0.0 neighbors
+    val q = Seq((0L, unit)).toDF("qid", "qe")
+    val corpus = Seq((1L, unit), (2L, zero), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vid", "ve")
+    val topk = VectorOps.bruteForceTopKFast(q, corpus, k = 3)
+      .orderBy("rank").collect().map(r => r.getLong(1) -> r.getDouble(2))
+    assert(topk.head == (1L -> 1.0))
+    assert(topk.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(topk.find(_._1 == 2L).get._2 == 0.0)
+    // exact pair path keeps the convention too (below threshold ⇒ excluded,
+    // same as the LSH verify would conclude)
+    val pairs = VectorOps.cosineNearDupPairsFast(
+      Seq((1L, unit), (2L, zero)).toDF("vec_id", "embedding"), threshold = 0.1)
+    assert(pairs.count() == 0)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     NativeFunctions.register(spark)
     val df = e.selectExpr("tjk_cosine(embedding, embedding) AS c").where(col("c") > 0.5)

@@ -42,6 +42,36 @@ class TableIOSuite extends SparkTestBase {
     assert(io.readAt(spark, "t", 1L).count() == 3)
   }
 
+  test("ParquetIO refuses a write that a same-named .parquet file would shadow") {
+    val root = tmp()
+    rows(2).write.parquet(s"$root/t.parquet") // testdata-shaped file
+    val io = new ParquetIO(root)
+    // read() prefers t.parquet, so an unguarded write to $root/t would be
+    // silently invisible to every subsequent read — it must fail loudly
+    intercept[IllegalArgumentException] { io.write(rows(5), "t") }
+    assert(io.read(spark, "t").count() == 2)
+  }
+
+  test("SnapshotIO: concurrent same-JVM writers never tear a snapshot") {
+    // Id allocation + data write + commit all happen under the commit lock;
+    // without that, two writers could pick the same snap id and CO-WRITE
+    // one directory (errorifexists is check-then-act), committing a torn
+    // UNION of both dataframes. Serialized, every commit is exactly one
+    // writer's rows.
+    val root = tmp()
+    val sizes = Seq(1, 2, 3, 4, 5, 6)
+    val threads = sizes.map { n =>
+      new Thread(() => new SnapshotIO(root).write(rows(n), "t"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val io = new SnapshotIO(root)
+    val snaps = io.snapshots("t")
+    assert(snaps.size == sizes.size, s"expected ${sizes.size} commits, got $snaps")
+    val counts = snaps.map(s => io.readAt(spark, "t", s).count())
+    // each snapshot holds exactly ONE writer's rows — no unions, no loss
+    assert(counts.sorted == sizes.map(_.toLong), s"torn snapshots: $counts")
+  }
+
   test("CSV and JSON sources agree with the parquet relation (SURVEY §2.2)") {
     val root = tmp()
     val base = Tables.read(spark, "/root/testdata/sf0.001", "events")
