@@ -73,7 +73,7 @@ object FeatureStatsQueries {
        |SELECT 'len_text' AS feature, n, nm AS n_missing,
        |  round(CAST(nm AS DOUBLE)/n, 6) AS missing_rate,
        |  round(si/1.0/(n-nm), 6) AS mean,
-       |  round(sqrt(sq/1.0/(n-nm) - pow(si/1.0/(n-nm), 2)), 6) AS std
+       |  round(sqrt(greatest(sq/1.0/(n-nm) - pow(si/1.0/(n-nm), 2), 0.0)), 6) AS std
        |FROM l
        |UNION ALL
        |SELECT 'tool', n, nm, round(CAST(nm AS DOUBLE)/n, 6),
@@ -82,7 +82,7 @@ object FeatureStatsQueries {
        |UNION ALL
        |SELECT 'value', n, nm, round(CAST(nm AS DOUBLE)/n, 6),
        |  round(si/100.0/(n-nm), 6),
-       |  round(sqrt(sq/10000.0/(n-nm) - pow(si/100.0/(n-nm), 2)), 6)
+       |  round(sqrt(greatest(sq/10000.0/(n-nm) - pow(si/100.0/(n-nm), 2), 0.0)), 6)
        |FROM v
        |ORDER BY feature""".stripMargin
 
@@ -138,7 +138,7 @@ object FeatureStatsQueries {
        |),
        |bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x)),
        |lab AS (SELECT cnt, CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS y
-       |        FROM f WHERE cnt IS NOT NULL),
+       |        FROM f WHERE cnt IS NOT NULL AND role IS NOT NULL),
        |ig AS (SELECT greatest(least(CAST(floor(cnt/1.0) AS INTEGER), ${NBins - 1}), 0) AS bin,
        |              sum(y) AS np, sum(1-y) AS nn FROM lab GROUP BY 1),
        |ij AS (SELECT bins.bin, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
@@ -273,7 +273,7 @@ object FeatureStatsQueries {
        |       FROM km),
        |ks AS (SELECT round(max(abs(CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)), 6) AS stat FROM kc),
        |lab AS (SELECT value, CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS y
-       |        FROM t WHERE value IS NOT NULL),
+       |        FROM t WHERE value IS NOT NULL AND role IS NOT NULL),
        |ig AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin,
        |              sum(y) AS np, sum(1-y) AS nn FROM lab GROUP BY 1),
        |ij AS (SELECT bins.bin, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn

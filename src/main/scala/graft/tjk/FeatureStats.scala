@@ -55,9 +55,15 @@ object FeatureStats {
         round(col("n_missing").cast("double") / col("n"), 6).as("missing_rate"),
         round(col("sum_i") / lit(f.scale.toDouble) /
           (col("n") - col("n_missing")), 6).as("mean"),
-        round(sqrt(
+        // greatest(…, 0): for a (near-)constant feature the two analytically
+        // equal terms are rounded independently as doubles and the variance
+        // can land one ulp NEGATIVE — sqrt would report NaN (and poison
+        // outlierBoundsSigma). The oracle SQL clamps identically, so both
+        // engines stay bit-equal on the edge too.
+        round(sqrt(greatest(
           col("sumsq_i") / lit((f.scale * f.scale).toDouble) / (col("n") - col("n_missing")) -
-            pow(col("sum_i") / lit(f.scale.toDouble) / (col("n") - col("n_missing")), 2)),
+            pow(col("sum_i") / lit(f.scale.toDouble) / (col("n") - col("n_missing")), 2),
+          lit(0.0))),
           6).as("std"))
   }
 
@@ -78,7 +84,12 @@ object FeatureStats {
     * bins (approx_percentile is approximate and engine-specific).
     */
   def widthBin(c: Column, binWidth: Double, nBins: Int): Column =
-    greatest(least(floor(c / binWidth).cast("int"), lit(nBins - 1)), lit(0))
+    // clamp in LONG before the int cast: an extreme outlier (|v|/binWidth
+    // past Int.MaxValue) would otherwise throw CAST_OVERFLOW under Spark
+    // 4's default ANSI mode — the exact row the edge-clamping contract
+    // exists to absorb
+    greatest(least(floor(c / binWidth), lit((nBins - 1).toLong)), lit(0L))
+      .cast("int")
 
   /** Population Stability Index between populations `a` (expected) and `b`
     * (actual) over fixed-width bins of `valueCol`, with Laplace smoothing
@@ -127,8 +138,11 @@ object FeatureStats {
       .withColumn("cb", sum(col("n_b")).over(w))
       .withColumn("ta", sum(col("n_a")).over(Window.partitionBy()))
       .withColumn("tb", sum(col("n_b")).over(Window.partitionBy()))
-      .agg(round(max(abs(col("ca") / col("ta") - col("cb") / col("tb"))), 6)
-        .as("ks"))
+      // nullif: an empty (or all-null) side makes its total 0 — the KS of a
+      // degenerate pair is undefined and must come back NULL, not throw
+      // DIVIDE_BY_ZERO under ANSI
+      .agg(round(max(abs(col("ca") / nullif(col("ta"), lit(0L)) -
+        col("cb") / nullif(col("tb"), lit(0L)))), 6).as("ks"))
   }
 
   /** Outlier bounds + clamp report for a bounded-decimal feature — the last
@@ -211,7 +225,10 @@ object FeatureStats {
       df: DataFrame, valueCol: String, labelCol: Column,
       binWidth: Double, nBins: Int, eps: Double = 0.5): DataFrame = {
     val counts = df
-      .where(col(valueCol).isNotNull)
+      // a NULL label is unknown, not negative: unfiltered, when(labelCol,…)
+      // .otherwise falls through on null and every unlabeled row would
+      // silently inflate n_neg, skewing WoE/IV with no warning
+      .where(col(valueCol).isNotNull && labelCol.isNotNull)
       .groupBy(widthBin(col(valueCol), binWidth, nBins).as("bin"))
       .agg(
         sum(when(labelCol, 1L).otherwise(0L)).as("n_pos"),

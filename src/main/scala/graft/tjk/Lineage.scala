@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   *     across runs with different parallelism, which is what resume
   *     verification needs. (XOR, not SUM: Spark 4 runs ANSI mode by default
   *     and a long-sum would overflow-throw.)
+  *
+  * Stated limitation of the XOR fold: even multiplicities cancel — a
+  * corruption that replaces a DUPLICATED row pair {a,a} with a different
+  * pair {b,b} leaves both row_count and content_hash unchanged (x⊕x = 0
+  * for any x). Row-level duplicates are rare in practice for keyed feature
+  * outputs and the blind spot requires the corruption to preserve both the
+  * count and the pairing; a multiset-exact fold would need a wider
+  * accumulator (e.g. per-row 128-bit sum mod 2¹²⁸), which the resume path
+  * can adopt behind the same manifest shape if that guarantee is ever
+  * needed.
   */
 object Lineage {
 
@@ -121,8 +131,13 @@ object Resume {
     def manifestFile(b: Int) = new java.io.File(root, s"manifest_$b.json")
     val done: Map[Int, (Long, Long)] = (0 until buckets).flatMap { b =>
       if (bucketDir(b).exists() && manifestFile(b).exists())
-        Some(b -> ujsonParse(
-          java.nio.file.Files.readString(manifestFile(b).toPath)))
+        // A truncated/corrupt manifest (crash mid-write) means the bucket
+        // is NOT verifiably committed: treat it as missing and recompute,
+        // instead of throwing identically on every restart and wedging the
+        // resume mechanism until someone hand-deletes the file.
+        scala.util.Try(ujsonParse(
+            java.nio.file.Files.readString(manifestFile(b).toPath)))
+          .toOption.map(b -> _)
       else None
     }.toMap
     val allMissing = (0 until buckets).filterNot(done.contains)

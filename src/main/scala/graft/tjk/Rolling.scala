@@ -83,8 +83,13 @@ object Rolling {
     if (hot.isEmpty) windowRolling(df, entity, tsCol, specs)
     else {
       // coalesce(false): a NULL entity never matches isin — it must fall to
-      // the cold branch, not vanish from both.
-      val isHot = coalesce(col(entity).isin(hot: _*), lit(false))
+      // the cold branch, not vanish from both. A null TS likewise routes
+      // cold even for a hot entity: it has no trailing frame to chunk (the
+      // chunked operator rejects it loudly), and on the Window path a
+      // null-order row's range frame sees only its null-ts peers, so
+      // separating the two groups is result-invariant (suite-pinned).
+      val isHot = coalesce(col(entity).isin(hot: _*), lit(false)) &&
+        col(tsCol).isNotNull
       val chunkSpan = specs.map(_.windowMicros).max
       val cold = windowRolling(df.where(!isHot), entity, tsCol, specs)
       val hotDf = Skew.chunkedRollingAgg(df.where(isHot), entity, tsCol, specs, chunkSpan)

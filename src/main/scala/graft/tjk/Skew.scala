@@ -36,8 +36,14 @@ object Layout {
   *    timeline into spans ≥ the max window width, duplicate each chunk's last
   *    `maxW` of rows into the next chunk as non-owner context, repartition by
   *    (entity, chunk), and compute the trailing frames with an exact sliding
-  *    structure in mapPartitions, emitting owner rows only. Results are
-  *    byte-identical to [[Rolling.rollingAgg]] (property-tested).
+  *    structure in mapPartitions, emitting owner rows only. Count/nunique/
+  *    min/max results are byte-identical to [[Rolling.rollingAgg]]
+  *    (property-tested); sum/mean agree to floating-point summation-order
+  *    equivalence — byte-identical whenever per-frame adds are exact (ints,
+  *    cents-scaled currency), and on generic doubles the compensated sliding
+  *    sum is at least as accurate as the Window path's per-frame left-to-
+  *    right recompute (the query catalog rounds float accumulations to 6 dp
+  *    on both engines precisely so summation order can never flip a compare).
   */
 object Skew {
 
@@ -105,9 +111,16 @@ object Skew {
       s"chunk span $chunkSpanMicros < max window $maxW")
 
     val tm = tsMicros(col(tsCol))
+    // FLOOR division for the chunk id (`div` truncates toward zero): the
+    // context band below uses pmod, which is floor-based — mixing the two
+    // conventions makes pre-1970 (negative-micros) rows land in chunk 0
+    // while their context test says "not near a boundary", silently losing
+    // frame rows. (__tm − pmod) is an exact span multiple, so its `div` IS
+    // the floor quotient, in pure integer arithmetic.
     val base = df
       .withColumn("__tm", tm)
-      .withColumn("__chunk", expr(s"__tm div ${chunkSpanMicros}L"))
+      .withColumn("__chunk",
+        expr(s"(__tm - pmod(__tm, ${chunkSpanMicros}L)) div ${chunkSpanMicros}L"))
     val owners = base.withColumn("__owner", lit(true))
     // A row within maxW of its chunk's end is context for the next chunk.
     val context = base
@@ -151,6 +164,12 @@ object Skew {
         override def next(): Seq[Row] = {
           // Pull one equal-ts batch within one (entity, chunk) group.
           val first = buf.next()
+          // Null ts has no trailing frame: rollingAgg routes such rows to
+          // the Window branch before they reach this operator; a DIRECT
+          // call must fail loudly, not NPE on getLong below.
+          require(!first.isNullAt(tmIdx),
+            s"chunkedRollingAgg: null $tsCol — null-ts rows belong on the " +
+              "window path (Rolling.rollingAgg routes them automatically)")
           val key = (first.get(eIdx), first.getLong(chunkIdx))
           if (curKey == null || key != curKey) { curKey = key; reset() }
           val t = first.getLong(tmIdx)

@@ -119,7 +119,17 @@ case class AsOfJoinExec(
             val t = tAny.asInstanceOf[Long]
             var advancing = true
             while (advancing && rBuf.hasNext && cmp(rEnt.eval(rBuf.head), e) == 0) {
-              val rt = rTs.eval(rBuf.head).asInstanceOf[Long]
+              val rtAny = rTs.eval(rBuf.head)
+              if (rtAny == null) {
+                // A null event ts can never be an as-of match. Guarded HERE,
+                // not only in the asofJoinNative wrapper's filter: the
+                // strategy is also injectable via spark.sql.extensions, so
+                // other plans can reach this exec — and an unboxed
+                // null.asInstanceOf[Long] would silently become epoch 0 and
+                // be consumed as a real match.
+                rBuf.next()
+              } else {
+              val rt = rtAny.asInstanceOf[Long]
               if (if (strictV) rt < t else rt <= t) {
                 // consume: sorted by (ts, tie) asc, so the last consumed row
                 // is the greatest ts (ties: greatest tie) — the match.
@@ -127,6 +137,7 @@ case class AsOfJoinExec(
                 lastTs = rt
                 lastPay = payProj(r).copy()
               } else advancing = false
+              }
             }
             val ok = lastPay != null && tol.forall(d => t - lastTs <= d)
             outProj(joined(lRow, if (ok) lastPay else nullPay))

@@ -87,6 +87,35 @@ class FeatureStatsSuite extends SparkTestBase {
     assert(all(df.repartition(1)) == all(df.repartition(13)))
   }
 
+  test("edge hardening: extreme bins, empty-side KS, null labels, constant std") {
+    val spark2 = spark
+    import spark2.implicits._
+    // widthBin: an outlier past Int.MaxValue/binWidth must land in the top
+    // bin, not throw CAST_OVERFLOW under ANSI
+    val extreme = Seq(5.0e7, 1.0, 2.0).toDF("value")
+    val psi = FeatureStats.psi(extreme, extreme, "value", 0.01, 10)
+      .collect()(0).getDouble(0)
+    assert(psi == 0.0, s"identical populations with an extreme row: psi=$psi")
+    // ks: an empty side yields NULL, not DIVIDE_BY_ZERO
+    val a = Seq(1.0, 2.0).toDF("value")
+    val empty = Seq.empty[Double].toDF("value")
+    assert(FeatureStats.ks(a, empty, "value").collect()(0).isNullAt(0))
+    // iv: a NULL label is excluded, not silently counted as negative
+    val lab = Seq((5.0, Some(true)), (5.0, Some(false)), (5.0, None))
+      .toDF("value", "y")
+    val ivNull = FeatureStats.iv(lab, "value", col("y"), 10.0, 10)
+      .collect()(0).getDouble(0)
+    val ivClean = FeatureStats.iv(lab.where(col("y").isNotNull), "value",
+      col("y"), 10.0, 10).collect()(0).getDouble(0)
+    assert(ivNull == ivClean)
+    // profileNumeric: a constant large-valued feature reports std 0, never
+    // NaN from one-ulp-negative variance
+    val const = Seq.fill(100)(10000.01).toDF("value")
+    val std = FeatureStats.profileNumeric(const,
+      NumFeature("value", col("value"), 2)).collect()(0).getDouble(5)
+    assert(std == 0.0, s"constant-feature std=$std")
+  }
+
   test("outlierReport: hand-computed Tukey fences, counts and winsorized sum") {
     val spark2 = spark
     import spark2.implicits._

@@ -137,6 +137,24 @@ class ResumeSuite extends SparkTestBase {
     deleteRec(new java.io.File(one)); deleteRec(new java.io.File(four))
   }
 
+  test("a corrupt manifest routes its bucket to recompute instead of wedging resume") {
+    val input = turnsDf(Gen.turnsSeq(46L, 12, 20))
+    val outDir = Files.createTempDirectory("tjk_resume_corrupt").toString
+    val first = Resume.runBucketed(spark, input, "conv_id", outDir, 4)(job)
+    // crash mid-writeString: data dir committed, manifest truncated garbage
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$outDir/manifest_2.json").toPath, """{"bucket":2,"row_c""")
+    val second = Resume.runBucketed(spark, input, "conv_id", outDir, 4)(job)
+    assert(second.count(_.skipped) == 3)
+    assert(!second.find(_.bucket == 2).get.skipped)
+    assert(second.map(r => (r.bucket, r.rowCount, r.contentHash)).toSet ==
+      first.map(r => (r.bucket, r.rowCount, r.contentHash)).toSet)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(outDir))
+  }
+
   test("NULL bucket values route to bucket 0 on full AND partial waves") {
     // ADVICE r3 item 1: an md5-derived bucketCol is NULL for a null entity;
     // unrouted, those rows land in __HIVE_DEFAULT_PARTITION__ (NPE on the

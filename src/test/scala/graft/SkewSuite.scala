@@ -306,6 +306,57 @@ class SkewSuite extends SparkTestBase {
     assert(chunked.toSeq == Seq(1L, 1L, 2L, 2L), chunked.toSeq.toString)
   }
 
+  test("null-ts rows of a HOT entity route cold and results match WindowOnly") {
+    // tsMicros(null) would NPE in the chunked operator's getLong; the
+    // router must send null-ts rows down the Window branch, and doing so
+    // must be result-invariant (a null-order row's range frame sees only
+    // its null-ts peers).
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 50).map { i =>
+      ("hot", i,
+        if (i % 10 == 3) null
+        else new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toDouble)
+    } ++ Seq(("cold", 0, new java.sql.Timestamp(1700000000000L), 1.0))
+    val df = rows.toDF("conv_id", "turn_idx", "ts", "value")
+    val specs = Seq(RollingSpec("value", Agg.Sum, H1),
+      RollingSpec("value", Agg.Count, H1))
+    def fp(p: SkewPolicy) = Lineage.tableFingerprint(
+      Rolling.rollingAgg(df, "conv_id", "ts", specs, p)
+        .select(col("conv_id"), col("turn_idx"),
+          round(col("sum_value_3600s"), 9).as("s"), col("count_value_3600s")))
+    assert(fp(SkewPolicy.Guarded(10L)) == fp(SkewPolicy.WindowOnly))
+    // and a DIRECT chunked call on null-ts data fails loudly, never NPEs
+    val ex = intercept[org.apache.spark.SparkException] {
+      Skew.chunkedRollingAgg(df, "conv_id", "ts", specs,
+        chunkSpanMicros = H1.toMillis * 1000L).collect()
+    }
+    assert(ex.getMessage.contains("null ts") ||
+      Option(ex.getCause).exists(_.getMessage.contains("null ts")), ex.getMessage)
+  }
+
+  test("chunked == window on pre-1970 timestamps (floor-consistent chunking)") {
+    // Truncating `div` vs floor-based pmod diverge on negative micros: a
+    // row just before a chunk boundary in negative time must still be
+    // duplicated forward as context or trailing frames lose rows.
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 200).map { i =>
+      ("e", i, new java.sql.Timestamp(-86400000L * 2 + i * 137000L), (i % 13).toDouble)
+    }
+    val df = rows.toDF("conv_id", "turn_idx", "ts", "value")
+    val specs = Seq(RollingSpec("value", Agg.Sum, Duration.ofMinutes(10)),
+      RollingSpec("value", Agg.Count, Duration.ofMinutes(10)))
+    def fp(d: org.apache.spark.sql.DataFrame) = Lineage.tableFingerprint(
+      d.select(col("conv_id"), col("turn_idx"),
+        round(col("sum_value_600s"), 9).as("s"), col("count_value_600s")))
+    val win = fp(Rolling.rollingAgg(df, "conv_id", "ts", specs, SkewPolicy.WindowOnly))
+    val chk = fp(Skew.chunkedRollingAgg(df, "conv_id", "ts", specs,
+      chunkSpanMicros = 3L * 600L * 1000000L)) // span 3× window ⇒ real context bands
+    assert(win == chk)
+  }
+
   test("generator produces the intended hot tail (skew exists to be handled)") {
     val counts = skewed.groupBy("conv_id").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
