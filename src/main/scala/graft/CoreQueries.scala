@@ -159,17 +159,19 @@ object CoreQueries {
     // aggs share the (conv_id, ts) partitioning, so this costs one narrow
     // slice job.
     val slice = t(spark, dir)
-      .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(16)) === 3)
+      .where(md5Bucket(col("conv_id"), 16) === 3)
     val both = Rolling.rollingAgg(
       Rolling.approxRollingNunique(slice, "conv_id", "ts", "tool", D1),
       "conv_id", "ts", Seq(RollingSpec("tool", Agg.NUnique, D1)),
       SkewPolicy.WindowOnly)
     val law = both.agg(
         count(lit(1)).as("n"),
-        sum(when(
+        // coalesce: sum over ZERO rows is null — an empty slice must read
+        // as a vacuous pass (0 violations), not an NPE on getLong
+        coalesce(sum(when(
           abs(col("approx_nunique_tool_86400s") - col("nunique_tool_86400s")) >
             greatest(lit(1L), ceil(col("nunique_tool_86400s") * 0.15).cast("long")),
-          1L).otherwise(0L)).as("viol"))
+          1L).otherwise(0L)), lit(0L)).as("viol"))
       .collect()(0)
     val (n, viol) = (law.getLong(0), law.getLong(1))
     require(viol <= math.max(5L, n / 200L),
@@ -338,7 +340,12 @@ object CoreQueries {
       .agg(
         count(lit(1)).as("n_turns"),
         max("count_value_3600s").as("max_cnt_1h"),
-        round(sum(col("sum_value_86400s")), 0).as("sum_sum_24h"),
+        // exact-cents fold (sumCents doctrine): each summand is a sum of
+        // 2-decimal values, so its cent count is exact; a raw-double
+        // round(sum,0) sits one summation-order bit from flipping on a
+        // true .50 half-tie (the q40 incident class)
+        round(sum(round(col("sum_value_86400s") * 100).cast("long")) / 100.0, 0)
+          .as("sum_sum_24h"),
         round(round(sum(col("lag_value_1")), 4) /
           nullif(count(col("lag_value_1")), lit(0L)), 6).as("avg_lag1"),
         max("nunique_role_3600s").as("max_nuniq_role_1h"))
@@ -371,7 +378,7 @@ object CoreQueries {
        |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
        |  count(*) AS n_turns,
        |  max(count_value_3600s) AS max_cnt_1h,
-       |  round(sum(sum_value_86400s), 0) AS sum_sum_24h,
+       |  round(sum(CAST(round(sum_value_86400s * 100) AS BIGINT)) / 100.0, 0) AS sum_sum_24h,
        |  round(round(sum(lag_value_1), 4) / nullif(count(lag_value_1), 0), 6) AS avg_lag1,
        |  max(nunique_role_3600s) AS max_nuniq_role_1h
        |FROM sess GROUP BY conv_id, session_seq
@@ -428,13 +435,16 @@ object CoreQueries {
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 0).as("revenue"))
+        // exact-cents fold: o_totalprice is 2-decimal (q40-class half-tie
+        // hazard under a raw-double 0 dp round)
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 0)
+          .as("revenue"))
       .orderBy("n_name")
   }
 
   val joinAggSql: String =
     """SELECT n_name, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 0) AS revenue
+      |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 0) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -664,7 +674,7 @@ object CoreQueries {
     val input = t(spark, dir)
     // md5-derived bucket (last hex char mod 8) — DuckDB-replicable, unlike
     // the xxhash64 default.
-    val bucketOf = pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8))
+    val bucketOf = md5Bucket(col("conv_id"), 8)
     val job = (d: DataFrame) => d.groupBy("conv_id")
       .agg(count(lit(1)).as("n_turns"), round(sum(col("value")), 4).as("sum_value"))
     val r1 =
@@ -681,11 +691,7 @@ object CoreQueries {
       } finally {
         // scratch demonstration output — reclaim it (Verify/Bench/Profile
         // would otherwise each leave an 8-bucket dump under /tmp per call)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
-        rm(new java.io.File(outDir))
+        deleteRec(new java.io.File(outDir))
       }
     import spark.implicits._
     r1.map(r => (r.bucket, r.rowCount)).toDF("bucket", "row_count")
@@ -701,7 +707,7 @@ object CoreQueries {
        |SELECT CAST(b.x AS INTEGER) AS bucket,
        |       count(DISTINCT t.conv_id) AS row_count
        |FROM UNNEST(generate_series(0, 7)) AS b(x)
-       |LEFT JOIN t ON ascii(substring(md5(t.conv_id), 32, 1)) % 8 = b.x
+       |LEFT JOIN t ON ${md5BucketSql("t.conv_id", 8)} = b.x
        |GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ------------------------------------------------- joins / ranking / JSON parity
@@ -715,10 +721,16 @@ object CoreQueries {
       .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
     l.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum(col("l_quantity")), 0).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 0).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
-          .as("sum_disc_price"),
+        // exact integer folds (sumCents doctrine): quantity/price are
+        // ≤2-decimal and the discounted price is exactly 4-decimal, so the
+        // scaled long sums are exact on both engines; raw-double 0 dp
+        // rounds of multi-row sums are the q40-class half-tie hazard
+        round(sum(round(col("l_quantity") * 100).cast("long")) / 100.0, 0)
+          .as("sum_qty"),
+        round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0, 0)
+          .as("sum_base_price"),
+        round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")) / 10000.0, 0).as("sum_disc_price"),
         round(round(sum(col("l_discount")), 4) /
           nullif(count(lit(1)), lit(0L)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -727,9 +739,9 @@ object CoreQueries {
 
   val lineitemPricingSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 0) AS sum_qty,
-      |  round(sum(l_extendedprice), 0) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+      |  round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 0) AS sum_qty,
+      |  round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 0) AS sum_base_price,
+      |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 0) AS sum_disc_price,
       |  round(round(sum(l_discount), 4) / nullif(count(*), 0), 6) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
@@ -751,14 +763,15 @@ object CoreQueries {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy("p_brand", "n_name")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 0)
-          .as("revenue"))
+        // 4-decimal-exact fold, same rationale as q36's sum_disc_price
+        round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000).cast("long")) / 10000.0, 0).as("revenue"))
       .orderBy("p_brand", "n_name")
   }
 
   val partSupplierRevenueSql: String =
     """SELECT p_brand, n_name, count(*) AS n_items,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 0) AS revenue
+      |  round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0, 0) AS revenue
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |JOIN supplier ON l_suppkey = s_suppkey

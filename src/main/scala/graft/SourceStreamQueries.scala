@@ -146,11 +146,6 @@ object SourceStreamQueries {
     sinkName
   }
 
-  private def rmRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
-    f.delete()
-  }
-
   /** q41 — the incremental rolling-feature stream
     * ([[Streaming.rollingStream]], watermark-delayed finalization) driven
     * over a REPLAYED out-of-order feed of the q01-shaped input, checked
@@ -181,7 +176,7 @@ object SourceStreamQueries {
       // cost is not. md5-derived predicate so DuckDB replicates it exactly
       // (xxhash64 is not available there — q33's bucket convention).
       val feed = Tables.transcripts(spark, dir)
-        .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8)) === 0 &&
+        .where(md5Bucket(col("conv_id"), 8) === 0 &&
           col("value").isNotNull)
         .select(col("conv_id"), col("turn_idx"),
           col("ts").cast("timestamp").as("ts"), col("value").cast("double").as("value"))
@@ -216,7 +211,7 @@ object SourceStreamQueries {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
         .toDF("conv_id", "n_rows", "sum_cnt", "sum_sum", "max_cnt")
         .orderBy("conv_id")
-    } finally rmRec(new java.io.File(tmp))
+    } finally deleteRec(new java.io.File(tmp))
   }
 
   /** q46 — the OTHER streaming mode driver-visible: `session_window`
@@ -234,7 +229,7 @@ object SourceStreamQueries {
       .toFile.getAbsolutePath
     try {
       val feed = Tables.transcripts(spark, dir)
-        .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8)) === 2)
+        .where(md5Bucket(col("conv_id"), 8) === 2)
         .select(col("conv_id"), col("turn_idx"),
           col("ts").cast("timestamp").as("ts"),
           coalesce(col("value").cast("double"), lit(0.0)).as("value"))
@@ -264,7 +259,7 @@ object SourceStreamQueries {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_turns"))
         .orderBy("conv_id", "session_start")
-    } finally rmRec(new java.io.File(tmp))
+    } finally deleteRec(new java.io.File(tmp))
   }
 
   /** q46 oracle: the q10 session-aggregate SQL on the same md5 band. The
@@ -275,7 +270,7 @@ object SourceStreamQueries {
     */
   val streamingSessionsSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},
-       |tq AS (SELECT * FROM t WHERE ascii(substring(md5(conv_id), 32, 1)) % 8 = 2),
+       |tq AS (SELECT * FROM t WHERE ${md5BucketSql("conv_id", 8)} = 2),
        |f AS (
        |  SELECT conv_id, turn_idx, ts,
        |    CASE WHEN lag(ts) OVER w IS NULL
@@ -301,7 +296,7 @@ object SourceStreamQueries {
        |    count(value) OVER w AS count_w,
        |    sum(value) OVER w AS sum_w
        |  FROM t
-       |  WHERE ascii(substring(md5(conv_id), 32, 1)) % 8 = 0 AND value IS NOT NULL
+       |  WHERE ${md5BucketSql("conv_id", 8)} = 0 AND value IS NOT NULL
        |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts
        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
        |)
@@ -328,7 +323,7 @@ object SourceStreamQueries {
       // the whole corpus, and the bench does not need two full text-format
       // rewrites of it. Band 1, disjoint from q41's band 0.
       val view = Tables.transcripts(spark, dir)
-        .where(pmod(ascii(substring(md5(col("conv_id")), 32, 1)), lit(8)) === 1)
+        .where(md5Bucket(col("conv_id"), 8) === 1)
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
       // Driver parquet timestamps are NTZ → the NTZ format option is the
       // one that must carry µs; set both so the query is storage-agnostic.
@@ -366,7 +361,7 @@ object SourceStreamQueries {
           r.getLong(4)))
         .toDF("conv_id", "session_id", "session_start", "session_end", "n_turns")
         .orderBy("conv_id", "session_id")
-    } finally rmRec(new java.io.File(tmp))
+    } finally deleteRec(new java.io.File(tmp))
   }
 
   /** q43 oracle: q10's session-aggregate SQL restricted to the same
@@ -374,7 +369,7 @@ object SourceStreamQueries {
     */
   val csvJsonSourceSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},
-       |tq AS (SELECT * FROM t WHERE ascii(substring(md5(conv_id), 32, 1)) % 8 = 1),
+       |tq AS (SELECT * FROM t WHERE ${md5BucketSql("conv_id", 8)} = 1),
        |f AS (
        |  SELECT conv_id, turn_idx, ts,
        |    CASE WHEN lag(ts) OVER w IS NULL

@@ -217,8 +217,4 @@ object Resume {
     (field("row_count"), field("content_hash"))
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    f.delete()
-  }
 }
