@@ -16,6 +16,55 @@ object FeatureStatsQueries {
   private val BinW = 50.0
   private val NBins = 10
 
+  // ---- shared oracle SQL fragments (q45/q47/q49) -------------------------
+  // One source of truth for the binned-PSI / per-value-KS / binned-IV CTE
+  // blocks: the r4 `role IS NOT NULL` fix had to be hand-applied to two
+  // copies, which is exactly how oracle halves drift apart. The bin
+  // expression clamps in the WIDE type BEFORE the INTEGER cast, mirroring
+  // the Spark-side widthBin hardening (an extreme value must land in the
+  // edge bin on BOTH engines, not Conversion-Error on one).
+
+  private def binSql(valueExpr: String, width: String): String =
+    s"CAST(greatest(least(floor($valueExpr / $width), ${NBins - 1}), 0) AS INTEGER)"
+
+  private val binsCteSql: String =
+    s"bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x))"
+
+  /** PSI + KS CTE chain over CTEs named `tr`/`te` (column `value`);
+    * terminal CTEs: `psi(stat)`, `ks(stat)`. Requires [[binsCteSql]].
+    */
+  private val psiKsCtesSql: String =
+    s"""pa AS (SELECT ${binSql("value", BinW.toString)} AS bin, count(*) AS na FROM tr GROUP BY 1),
+       |pb AS (SELECT ${binSql("value", BinW.toString)} AS bin, count(*) AS nb FROM te GROUP BY 1),
+       |pj AS (SELECT bins.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+       |       FROM bins LEFT JOIN pa USING (bin) LEFT JOIN pb USING (bin)),
+       |pt AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pj),
+       |psi AS (SELECT round(sum(((nb+0.5)/(tb+5.0) - (na+0.5)/(ta+5.0)) *
+       |                        ln(((nb+0.5)/(tb+5.0)) / ((na+0.5)/(ta+5.0)))), 6) AS stat
+       |        FROM pj, pt),
+       |ka AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS na FROM tr GROUP BY 1),
+       |kb AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS nb FROM te GROUP BY 1),
+       |km AS (SELECT coalesce(ka.v, kb.v) AS v, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+       |       FROM ka FULL JOIN kb ON ka.v = kb.v),
+       |kc AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+       |              sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+       |              (SELECT sum(na) FROM km) AS ta, (SELECT sum(nb) FROM km) AS tb
+       |       FROM km),
+       |ks AS (SELECT round(max(abs(CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)), 6) AS stat FROM kc)""".stripMargin
+
+  /** Binned-IV CTE chain over a CTE named `lab` (columns `value`, `y`);
+    * terminal CTE: `iv(stat)`. Requires [[binsCteSql]].
+    */
+  private def ivCtesSql(width: String): String =
+    s"""ig AS (SELECT ${binSql("value", width)} AS bin,
+       |              sum(y) AS np, sum(1-y) AS nn FROM lab GROUP BY 1),
+       |ij AS (SELECT bins.bin, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
+       |       FROM bins LEFT JOIN ig USING (bin)),
+       |it AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM ij),
+       |iv AS (SELECT round(sum(((np+0.5)/(tp+5.0) - (nn+0.5)/(tn+5.0)) *
+       |                       ln(((np+0.5)/(tp+5.0)) / ((nn+0.5)/(tn+5.0)))), 6) AS stat
+       |       FROM ij, it)""".stripMargin
+
   /** q44 — per-feature profile: exact-integer moments for the 2-decimal
     * `value` and the integer `len_text`, missingness for `tool`.
     */
@@ -26,7 +75,7 @@ object FeatureStatsQueries {
     // item 4: a leaked cache lives until spark.stop in a shared session,
     // pressuring the LRU store under later queries)
     val base = Tables.transcripts(spark, dir)
-      .select("conv_id", "value", "text", "tool")
+      .select("value", "text", "tool") // only what the 3 branches read
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val report = FeatureStats
@@ -73,7 +122,8 @@ object FeatureStatsQueries {
        |SELECT 'len_text' AS feature, n, nm AS n_missing,
        |  round(CAST(nm AS DOUBLE)/n, 6) AS missing_rate,
        |  round(si/1.0/(n-nm), 6) AS mean,
-       |  round(sqrt(greatest(sq/1.0/(n-nm) - pow(si/1.0/(n-nm), 2), 0.0)), 6) AS std
+       |  CASE WHEN n = nm THEN NULL
+       |       ELSE round(sqrt(greatest(sq/1.0/(n-nm) - pow(si/1.0/(n-nm), 2), 0.0)), 6) END AS std
        |FROM l
        |UNION ALL
        |SELECT 'tool', n, nm, round(CAST(nm AS DOUBLE)/n, 6),
@@ -82,7 +132,8 @@ object FeatureStatsQueries {
        |UNION ALL
        |SELECT 'value', n, nm, round(CAST(nm AS DOUBLE)/n, 6),
        |  round(si/100.0/(n-nm), 6),
-       |  round(sqrt(greatest(sq/10000.0/(n-nm) - pow(si/100.0/(n-nm), 2), 0.0)), 6)
+       |  CASE WHEN n = nm THEN NULL
+       |       ELSE round(sqrt(greatest(sq/10000.0/(n-nm) - pow(si/100.0/(n-nm), 2), 0.0)), 6) END
        |FROM v
        |ORDER BY feature""".stripMargin
 
@@ -136,18 +187,11 @@ object FeatureStatsQueries {
        |  WINDOW w AS (PARTITION BY conv_id ORDER BY ts
        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
        |),
-       |bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x)),
-       |lab AS (SELECT cnt, CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS y
+       |$binsCteSql,
+       |lab AS (SELECT cnt AS value, CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS y
        |        FROM f WHERE cnt IS NOT NULL AND role IS NOT NULL),
-       |ig AS (SELECT greatest(least(CAST(floor(cnt/1.0) AS INTEGER), ${NBins - 1}), 0) AS bin,
-       |              sum(y) AS np, sum(1-y) AS nn FROM lab GROUP BY 1),
-       |ij AS (SELECT bins.bin, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
-       |       FROM bins LEFT JOIN ig USING (bin)),
-       |it AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM ij)
-       |SELECT 'iv_count_1h' AS metric,
-       |       round(sum(((np+0.5)/(tp+5.0) - (nn+0.5)/(tn+5.0)) *
-       |                 ln(((np+0.5)/(tp+5.0)) / ((nn+0.5)/(tn+5.0)))), 6) AS stat
-       |FROM ij, it""".stripMargin
+       |${ivCtesSql("1.0")}
+       |SELECT 'iv_count_1h' AS metric, stat FROM iv""".stripMargin
 
   /** q48 — outlier handling (the last §0.3 analysis-stage item): Tukey
     * fences over `value` from exact integer-cents quartiles, plus the
@@ -227,61 +271,26 @@ object FeatureStatsQueries {
        |      FROM spine s ASOF LEFT JOIN ev e
        |        ON s.conv_id = e.conv_id AND s.ts >= e.ev_ts),
        |tr AS (SELECT pv AS value FROM j WHERE ts < TIMESTAMP '$Boundary' AND pv IS NOT NULL),
-       |te AS (SELECT pv AS value FROM j WHERE ts >= TIMESTAMP '$Boundary' AND pv IS NOT NULL),
-       |bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x)),
-       |pa AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin, count(*) AS na FROM tr GROUP BY 1),
-       |pb AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin, count(*) AS nb FROM te GROUP BY 1),
-       |pj AS (SELECT bins.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-       |       FROM bins LEFT JOIN pa USING (bin) LEFT JOIN pb USING (bin)),
-       |pt AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pj),
-       |psi AS (SELECT round(sum(((nb+0.5)/(tb+5.0) - (na+0.5)/(ta+5.0)) *
-       |                        ln(((nb+0.5)/(tb+5.0)) / ((na+0.5)/(ta+5.0)))), 6) AS stat
-       |        FROM pj, pt),
-       |ka AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS na FROM tr GROUP BY 1),
-       |kb AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS nb FROM te GROUP BY 1),
-       |km AS (SELECT coalesce(ka.v, kb.v) AS v, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-       |       FROM ka FULL JOIN kb ON ka.v = kb.v),
-       |kc AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-       |              sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
-       |              (SELECT sum(na) FROM km) AS ta, (SELECT sum(nb) FROM km) AS tb
-       |       FROM km),
-       |ks AS (SELECT round(max(abs(CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)), 6) AS stat FROM kc)
+       |te AS (SELECT pv AS value FROM j
+       |       WHERE (ts >= TIMESTAMP '$Boundary' OR ts IS NULL) AND pv IS NOT NULL),
+       |$binsCteSql,
+       |$psiKsCtesSql
        |SELECT 'ks_asof_pv' AS metric, stat FROM ks
        |UNION ALL SELECT 'psi_asof_pv', stat FROM psi
        |ORDER BY metric""".stripMargin
+  // (te's `OR ts IS NULL` replicates Split.timeSplit's null routing: the
+  // engine's when(ts < b, train).otherwise(test) sends a null ts to TEST)
 
   val driftReportSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},
        |tr AS (SELECT value FROM t WHERE ts < TIMESTAMP '$Boundary' AND value IS NOT NULL),
-       |te AS (SELECT value FROM t WHERE ts >= TIMESTAMP '$Boundary' AND value IS NOT NULL),
-       |bins AS (SELECT CAST(b.x AS INTEGER) AS bin FROM UNNEST(generate_series(0, ${NBins - 1})) AS b(x)),
-       |pa AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin, count(*) AS na FROM tr GROUP BY 1),
-       |pb AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin, count(*) AS nb FROM te GROUP BY 1),
-       |pj AS (SELECT bins.bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-       |       FROM bins LEFT JOIN pa USING (bin) LEFT JOIN pb USING (bin)),
-       |pt AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM pj),
-       |psi AS (SELECT round(sum(((nb+0.5)/(tb+5.0) - (na+0.5)/(ta+5.0)) *
-       |                        ln(((nb+0.5)/(tb+5.0)) / ((na+0.5)/(ta+5.0)))), 6) AS stat
-       |        FROM pj, pt),
-       |ka AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS na FROM tr GROUP BY 1),
-       |kb AS (SELECT CAST(value AS DOUBLE) AS v, count(*) AS nb FROM te GROUP BY 1),
-       |km AS (SELECT coalesce(ka.v, kb.v) AS v, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
-       |       FROM ka FULL JOIN kb ON ka.v = kb.v),
-       |kc AS (SELECT sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-       |              sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
-       |              (SELECT sum(na) FROM km) AS ta, (SELECT sum(nb) FROM km) AS tb
-       |       FROM km),
-       |ks AS (SELECT round(max(abs(CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)), 6) AS stat FROM kc),
+       |te AS (SELECT value FROM t
+       |       WHERE (ts >= TIMESTAMP '$Boundary' OR ts IS NULL) AND value IS NOT NULL),
+       |$binsCteSql,
+       |$psiKsCtesSql,
        |lab AS (SELECT value, CASE WHEN role = 'purchase' THEN 1 ELSE 0 END AS y
        |        FROM t WHERE value IS NOT NULL AND role IS NOT NULL),
-       |ig AS (SELECT greatest(least(CAST(floor(value/$BinW) AS INTEGER), ${NBins - 1}), 0) AS bin,
-       |              sum(y) AS np, sum(1-y) AS nn FROM lab GROUP BY 1),
-       |ij AS (SELECT bins.bin, coalesce(np, 0) AS np, coalesce(nn, 0) AS nn
-       |       FROM bins LEFT JOIN ig USING (bin)),
-       |it AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM ij),
-       |iv AS (SELECT round(sum(((np+0.5)/(tp+5.0) - (nn+0.5)/(tn+5.0)) *
-       |                       ln(((np+0.5)/(tp+5.0)) / ((nn+0.5)/(tn+5.0)))), 6) AS stat
-       |       FROM ij, it)
+       |${ivCtesSql(BinW.toString)}
        |SELECT 'iv_value' AS metric, stat FROM iv
        |UNION ALL SELECT 'ks_value', stat FROM ks
        |UNION ALL SELECT 'psi_value', stat FROM psi

@@ -107,15 +107,17 @@ object TextVecQueries {
     }.mkString(" UNION ALL ")
     val matches = (0 until k)
       .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END").mkString(" + ")
+    // denominator derived from MinHashK like everything else here — a
+    // hardcoded 32.0 would silently de-calibrate est_sim if K changes
     s"""WITH $shingleCte,
        |sig AS (SELECT doc_id, $sigs FROM sh GROUP BY doc_id),
        |bands AS ($bands),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id)
-       |SELECT id_a, id_b, round(($matches) / 32.0, 6) AS est_sim
+       |SELECT id_a, id_b, round(($matches) / $k.0, 6) AS est_sim
        |FROM cand JOIN sig a ON a.doc_id = id_a JOIN sig b ON b.doc_id = id_b
-       |WHERE round(($matches) / 32.0, 6) >= 0.5
+       |WHERE round(($matches) / $k.0, 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -173,7 +175,9 @@ object TextVecQueries {
       |  (SELECT sum(CAST(u.b AS DOUBLE) * CAST(u.b AS DOUBLE))
       |     FROM (SELECT UNNEST(e.embedding) AS b) u) AS nv
       |FROM q, embeddings e WHERE e.vec_id != qid),
-      |s AS (SELECT qid, vid, round(dp / (sqrt(nq) * sqrt(nv)), 6) AS cos FROM p),
+      |s AS (SELECT qid, vid,
+      |  CASE WHEN nq = 0 OR nv = 0 THEN 0.0
+      |       ELSE round(dp / (sqrt(nq) * sqrt(nv)), 6) END AS cos FROM p),
       |r AS (SELECT qid, vid, cos,
       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS INTEGER) AS rank
       |FROM s)
@@ -228,10 +232,15 @@ object TextVecQueries {
        |     FROM (SELECT UNNEST(b.embedding) AS y) u) AS nb
        |  FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
        |            JOIN embeddings b ON b.vec_id = cand.id_b)
-       |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 6) AS cos
-       |FROM pr WHERE round(dp / (sqrt(na) * sqrt(nb)), 6) >= 0.4
+       |SELECT id_a, id_b,
+       |  CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |       ELSE round(dp / (sqrt(na) * sqrt(nb)), 6) END AS cos
+       |FROM pr WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |               ELSE round(dp / (sqrt(na) * sqrt(nb)), 6) END) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
   }
+  // (the CASE guards replicate the library-wide zero-norm ⇒ 0.0 cosine
+  // convention — DuckDB's x/0 is NULL, which would order differently)
 
   /** Approximate by design → rows-only driver check; the accuracy claim is
     * therefore enforced IN-QUERY (VERDICT r3 item 4): recall@5 vs the exact
@@ -260,7 +269,10 @@ object TextVecQueries {
         e.select(col("vec_id").as("vid"), col("embedding").as("ve")), k = 5)
       .select(col("qid"), col("vid")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = brute.intersect(got).size.toDouble / brute.size
+    // vacuous pass on an empty query set — 0/0 would be NaN and fail the
+    // require with a misleading "recall regression" diagnosis
+    val recall =
+      if (brute.isEmpty) 1.0 else brute.intersect(got).size.toDouble / brute.size
     require(recall >= 0.9,
       f"q23 law: IVF recall@5 = $recall%.3f < 0.9 vs exact brute force")
     FeatureStatsQueries.localRelation(spark, rows, ivf.schema).orderBy("qid", "rank")
@@ -293,7 +305,10 @@ object TextVecQueries {
     */
   private[graft] def asciiGuarded(d: DataFrame): DataFrame =
     d.withColumn("text",
-      when(length(col("text")) === octet_length(col("text")), col("text"))
+      // null text passes THROUGH (the equality is null for it, and falling
+      // to raise_error would misdiagnose an incomplete corpus as non-ASCII)
+      when(col("text").isNull ||
+          length(col("text")) === octet_length(col("text")), col("text"))
         .otherwise(raise_error(lit(
           "q35_media_stats oracle requires an ASCII corpus (byte stats == char stats)"))))
 

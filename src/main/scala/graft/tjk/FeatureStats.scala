@@ -58,13 +58,15 @@ object FeatureStats {
         // greatest(…, 0): for a (near-)constant feature the two analytically
         // equal terms are rounded independently as doubles and the variance
         // can land one ulp NEGATIVE — sqrt would report NaN (and poison
-        // outlierBoundsSigma). The oracle SQL clamps identically, so both
-        // engines stay bit-equal on the edge too.
-        round(sqrt(greatest(
-          col("sumsq_i") / lit((f.scale * f.scale).toDouble) / (col("n") - col("n_missing")) -
-            pow(col("sum_i") / lit(f.scale.toDouble) / (col("n") - col("n_missing")), 2),
-          lit(0.0))),
-          6).as("std"))
+        // outlierBoundsSigma). The outer when(): an ALL-MISSING feature has
+        // no variance to report — without it greatest(NULL, 0.0) skips the
+        // null and the row would claim a MEASURED zero-variance feature
+        // next to mean = null. The oracle SQL guards identically.
+        when(col("n") === col("n_missing"), lit(null).cast("double"))
+          .otherwise(round(sqrt(greatest(
+            col("sumsq_i") / lit((f.scale * f.scale).toDouble) / (col("n") - col("n_missing")) -
+              pow(col("sum_i") / lit(f.scale.toDouble) / (col("n") - col("n_missing")), 2),
+            lit(0.0))), 6)).as("std"))
   }
 
   /** Missingness of a (categorical) column, same long shape, null moments. */
