@@ -138,6 +138,15 @@ class PlanShapeSuite extends SparkTestBase {
       s"raw rows range-sorted:\n$plan")
   }
 
+  test("media encode→decode pipeline is narrow: one exchange (the output sort) only") {
+    // q50's encode (PNG/WAV) and decode both run in mapPartitions directly
+    // over the scan — per-doc codec work must never induce a shuffle; the
+    // single rangepartitioning exchange is the driver contract's total
+    // ORDER BY, nothing else.
+    val q50 = TextVecQueries.mediaDecode(spark, "/root/testdata/sf0.001")
+    assert(exchanges(q50) == 1, q50.queryExecution.executedPlan.toString.take(2000))
+  }
+
   test("parquet scan prunes columns (fat text column never read when unused)") {
     val t = Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .groupBy("lang").agg(count(lit(1)).as("n"))
