@@ -40,8 +40,11 @@ object Bench {
         .partitionBy(col("k")).orderBy(col("id")).rangeBetween(-10, 0)))
         .write.format("noop").mode("overwrite").save()
       // parquet reader/datasource first-use init belongs to the warmup too
-      // (one tiny dimension file; nothing a query computes is precached)
-      spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
+      // (one tiny dimension file; nothing a query computes is precached).
+      // Through the SAME TableIO seam as the queries — a direct
+      // `$sfDir/region.parquet` read would hardcode the file-form layout
+      // and crash the warmup on a directory-form table root (ADVICE r4).
+      graft.tjk.Tables.read(spark, sfDir, "region").limit(1).collect()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -66,7 +69,15 @@ object Bench {
               s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // UNTIMED between-query cache clear: operators persist private
+      // intermediates (shingle fan-outs, signatures, split frames) that
+      // would otherwise (a) accumulate across the 50-query sweep and
+      // (b) contaminate timing — a later query sharing a cached subplan
+      // (q19's shingles after q18) would be timed WITH a neighbor's cache.
+      // Each query is timed cold-cache, matching how it runs alone.
+      spark.sharedState.cacheManager.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

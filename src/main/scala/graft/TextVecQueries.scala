@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tjk._
 
@@ -280,14 +280,75 @@ object TextVecQueries {
 
   // ------------------------------------------------------------ multimodal
 
-  /** Stubbed decode (no codec libs in-container) → rows-only. */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    MediaOps.extractFeatures(MediaOps.syntheticMedia(docs(spark, dir)))
-      .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("header_hex"),
-        round(col("mean_byte"), 6).as("mean_byte"),
-        size(col("frame_hashes")).as("n_frames"))
+  /** q24 — full media-stub output (incl. the frame sampling DuckDB cannot
+    * replicate from parquet) ⇒ rows-only at the driver, BUT guarded by an
+    * in-query law (the q23/q42 pattern, closing the last driver-blind
+    * entry): every stub column is recomputed from the text bytes with pure
+    * SQL expressions inside the query and required equal PER ROW
+    * (raise_error riding the join the law adds), with the frame-hash fold
+    * spot-checked on an md5-selected 1/16 slice of docs. A regression
+    * anywhere in the stub pipeline — batching, padding, byte order, the
+    * fold itself — now fails the driver sweep loudly instead of passing as
+    * `no_oracle`. Null-text docs are excluded like q50 (nothing to encode).
+    */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val d = asciiGuarded(docs(spark, dir)).where(col("text").isNotNull)
+    mediaLawCheck(MediaOps.extractFeatures(MediaOps.syntheticMedia(d)).toDF(), d)
+  }
+
+  /** The q24 guard, factored so TextVecSuite can prove the law FIRES on a
+    * tampered `feats` (a law that never fails is no law). `d` must be the
+    * same ASCII, non-null-text docs frame `feats` was derived from.
+    */
+  private[graft] def mediaLawCheck(feats: DataFrame, d: DataFrame): DataFrame = {
+    val mod = MediaOps.FrameHashMod
+    // byte array from text — ASCII-guarded, so ascii(char) == byte value.
+    // NOT sequence(1, n) bare: Spark's sequence(1, 0) DESCENDS to [1, 0],
+    // so the empty-text case needs the explicit CASE.
+    val frameExpr =
+      s"""transform(sequence(0, law_nf - 1), f ->
+         |  aggregate(
+         |    slice(bs,
+         |      CAST((CAST(size(bs) AS BIGINT) * f) div law_nf AS INT) + 1,
+         |      CAST((CAST(size(bs) AS BIGINT) * (f + 1)) div law_nf AS INT)
+         |        - CAST((CAST(size(bs) AS BIGINT) * f) div law_nf AS INT)),
+         |    CAST(1 AS BIGINT), (h, x) -> (h * 31 + x) % ${mod}L))""".stripMargin
+    val law = d.select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("law_nbytes"),
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("law_header"),
+        expr("CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<INT>) " +
+          "ELSE transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))) END")
+          .as("bs"),
+        (pmod(xxhash64(col("text"), lit(2)), lit(8L)) + 1L).cast("int").as("law_nf"),
+        substring(md5(col("text")), 1, 1).as("slice"))
+      .withColumn("law_mean",
+        when(col("law_nbytes") === 0L, lit(0.0))
+          .otherwise(round(expr("aggregate(bs, CAST(0 AS BIGINT), (a, x) -> a + x)")
+            .cast("double") / col("law_nbytes").cast("double"), 6)))
+      .withColumn("law_fh",
+        when(col("slice") === "0",
+          when(col("law_nbytes") === 0L, expr("CAST(array() AS ARRAY<BIGINT>)"))
+            .otherwise(expr(frameExpr))))
+    def guard(name: String, ok: Column, out: Column): Column =
+      when(ok, out).otherwise(raise_error(concat(
+        lit(s"q24 law: $name mismatch at doc_id="),
+        col("doc_id").cast("string")))).as(name)
+    feats.join(law, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        guard("n_bytes", col("n_bytes") === col("law_nbytes"), col("n_bytes")),
+        guard("header_hex", col("header_hex") === col("law_header"),
+          col("header_hex")),
+        guard("mean_byte", round(col("mean_byte"), 6) === col("law_mean"),
+          round(col("mean_byte"), 6)),
+        guard("n_frames",
+          (size(col("frame_hashes")) ===
+            when(col("law_nbytes") === 0L, 0).otherwise(col("law_nf"))) &&
+            (col("law_fh").isNull || col("frame_hashes") === col("law_fh")),
+          size(col("frame_hashes"))))
       .orderBy("doc_id")
+  }
 
   /** The SQL-expressible slice of the media feature pipeline (byte count,
     * header hex, byte-mean) — runs the SAME batched mapPartitions extractor
@@ -332,8 +393,14 @@ object TextVecQueries {
     * endianness, off-by-one in the chunk walk — breaks the hash compare.
     */
   def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    // Null-text semantics (ADVICE r4): a doc with no text has nothing to
+    // encode — EXCLUDED on both sides (oracle CTE carries the matching
+    // `text IS NOT NULL`). Without the filter the engine NPEs in pngGray
+    // while the oracle emits a nulls row — a crash on one side and a silent
+    // divergence on the other for the same doc.
     MediaOps.decodeAvFeatures(
-        MediaOps.syntheticAvMedia(asciiGuarded(docs(spark, dir))))
+        MediaOps.syntheticAvMedia(
+          asciiGuarded(docs(spark, dir)).where(col("text").isNotNull)))
       .toDF()
       .select(col("doc_id"), col("img_w"), col("img_h"),
         round(col("img_mean"), 6).as("img_mean"),
@@ -347,7 +414,7 @@ object TextVecQueries {
       |  SELECT doc_id,
       |    list_transform(string_split_regex(text, ''), x -> ascii(x)) AS bs,
       |    CAST(length(text) AS BIGINT) AS n
-      |  FROM documents)
+      |  FROM documents WHERE text IS NOT NULL)
       |SELECT doc_id,
       |  16 AS img_w, 16 AS img_h,
       |  round(coalesce(list_aggregate(bs[1:256], 'sum'), 0) / 256.0, 6) AS img_mean,

@@ -21,6 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release operator-persisted intermediates between queries — the
+      // 50-query sweep must not accumulate 50 queries' worth of caches
+      spark.sharedState.cacheManager.clearCache()
     }
     OracleDump.writeOracleJson(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     spark.stop()

@@ -55,17 +55,24 @@ object MediaOps {
     (header, mean)
   }
 
+  /** Rolling-hash modulus: a prime < 2³¹ so the fold value stays < 2³⁵ and
+    * the q24 in-query law can recompute it with plain ANSI BIGINT arithmetic
+    * (a wrapping 64-bit fold would overflow-error under ANSI SQL).
+    */
+  private[graft] val FrameHashMod = 1000000007L
+
   /** Deterministic frame sampling: split the payload into n_frames equal
     * byte ranges and fingerprint each — the shape of a video frame-sampler.
+    * Polynomial rolling hash mod [[FrameHashMod]], seeded 1.
     */
   private def sampleFrames(blob: Array[Byte], nFrames: Int): Seq[Long] = {
     if (blob.isEmpty || nFrames <= 0) Seq.empty
     else (0 until nFrames).map { f =>
       val start = (blob.length.toLong * f / nFrames).toInt
       val end = (blob.length.toLong * (f + 1) / nFrames).toInt
-      var h = 1125899906842597L // deterministic FNV-ish rolling fold
+      var h = 1L
       var i = start
-      while (i < end) { h = h * 31 + (blob(i) & 0xff); i += 1 }
+      while (i < end) { h = (h * 31 + (blob(i) & 0xff)) % FrameHashMod; i += 1 }
       h
     }
   }

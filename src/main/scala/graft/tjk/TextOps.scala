@@ -131,11 +131,15 @@ object TextOps {
     * The fingerprint subplan feeds BOTH sides of the group join — persist
     * it (id+hash only, tiny vs the corpus) so the full-text scan + md5 runs
     * once, not once per side. Same branch-point discipline as
-    * [[ngramJaccardPairs]]; LRU-evictable.
+    * [[ngramJaccardPairs]]; LRU-evictable, releasable via `scope`
+    * ([[CacheScope]]) after the result is materialized.
     */
-  def exactDedup(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val fp = docs.select(col(idCol), md5(col("text")).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def exactDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val fp = scope.track(docs.select(col(idCol), md5(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val groups = fp.groupBy("fp").agg(
       min(col(idCol)).as("canonical_id"),
       count(lit(1)).as("group_size"))
@@ -201,22 +205,23 @@ object TextOps {
       docs: DataFrame,
       threshold: Double,
       k: Int = Shingle,
-      maxShingleDf: Int = HotShingleDf): DataFrame = {
+      maxShingleDf: Int = HotShingleDf,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // The shingle fan-out feeds several consumers (df-cap, candidate self-
     // join, hot-part verify, per-doc counts); persist it once (spilling to
     // disk at scale) instead of re-running the split+explode scan per
     // consumer — the same branch-point discipline as minhashLshPairs. The
     // blocks stay LRU-evictable (MEMORY_AND_DISK storage is reclaimed under
-    // executor memory pressure); a caller wanting eager release can
-    // `.unpersist()` after consuming the result.
-    val sh = shingles(docs, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // executor memory pressure); a caller wanting eager release passes a
+    // [[CacheScope]] and releases after consuming the result.
+    val sh = scope.track(shingles(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // hot is tiny by construction but its PLAN is a full-corpus groupBy
     // over the shingle fan-out — unpersisted it would re-run for each of
     // its three consumers (the isEmpty probe, the anti-join, the hot-part
     // join): three full shuffles for a set that fits in memory.
-    val hot = hotShingles(sh, maxShingleDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = scope.track(hotShingles(sh, maxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // One tiny probe job: on a corpus with NO hot shingle (df ≤ cap
     // everywhere — most corpora most of the time), the anti-join and the
     // whole hot-part machinery are identities over empty sets; skip their
@@ -294,8 +299,11 @@ object TextOps {
   }
 
   /** LSH candidate pairs with estimated similarity ≥ threshold. */
-  def minhashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs).cache()
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sig = scope.track(minhashSignatures(docs).cache())
     val bands = minhashBandRows(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
@@ -363,8 +371,9 @@ object TextOps {
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int,
-      hash: TokenHash = TokenHash.Xx64): DataFrame = {
-    val sh = simhash(docs, hash = hash).cache()
+      hash: TokenHash = TokenHash.Xx64,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sh = scope.track(simhash(docs, hash = hash).cache())
     val bands = sh.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
         expr(s"(simhash >> ${b * 16}) & 65535").as("h"))): _*)).as("bh"))

@@ -116,18 +116,19 @@ object VectorOps {
       threshold: Double,
       dim: Int = 64,
       nPlanes: Int = LshPlanes,
-      bands: Int = LshBands): DataFrame = {
+      bands: Int = LshBands,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(nPlanes % bands == 0, s"bands $bands must divide nPlanes $nPlanes")
     val spark = vecs.sparkSession
     val r = nPlanes / bands
     // cache the signatures: the band self-join consumes this subplan twice
     // (x and y sides), and without the cache each side re-scans the corpus
     // and re-evaluates the signature — same branch-point discipline as
-    // minhashLshPairs (LRU-evictable, spills at scale)
-    val sig = vecs.select(col("vec_id"),
+    // minhashLshPairs (LRU-evictable, spills at scale, releasable via scope)
+    val sig = scope.track(vecs.select(col("vec_id"),
       expressions.NativeFunctions.hyperplaneSigNative(
         spark, col("embedding"), hyperplanes(nPlanes, dim)).as("bitstr"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bandRows = sig.select(col("vec_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
           s"b -> struct(b AS band, md5(substring(bitstr, b * $r + 1, $r)) AS h))"

@@ -264,6 +264,53 @@ class TextVecSuite extends SparkTestBase {
     feats.foreach(f => assert(again(f.doc_id) == f.frame_hashes))
   }
 
+  test("q24 in-query law: passes the real pipeline, FIRES on tampering") {
+    val d = planted
+    val feats = MediaOps.extractFeatures(MediaOps.syntheticMedia(d)).toDF()
+    // real pipeline: every row clears every guard
+    assert(TextVecQueries.mediaLawCheck(feats, d).count() == d.count())
+    // each tampered column must trip its own guard — a law that cannot
+    // fail is no law
+    def fires(bad: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val ex = intercept[Exception] {
+        TextVecQueries.mediaLawCheck(bad, d).collect()
+      }
+      def mentions(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("q24 law")) || mentions(t.getCause))
+      assert(mentions(ex), s"$what tamper did not trip the q24 law: $ex")
+    }
+    fires(feats.withColumn("mean_byte", col("mean_byte") + 0.5), "mean_byte")
+    fires(feats.withColumn("n_bytes", col("n_bytes") + 1L), "n_bytes")
+    fires(feats.withColumn("header_hex", lit("deadbeef")), "header_hex")
+    // frame-hash tamper only fires on the md5-selected 1/16 slice — corrupt
+    // EVERY row's hashes so at least one sliced doc is affected
+    fires(feats.withColumn("frame_hashes",
+      expr("transform(frame_hashes, h -> h + 1)")), "frame_hashes")
+  }
+
+  test("CacheScope releases operator-persisted intermediates") {
+    // earlier tests in this shared session persist via unmanaged scopes —
+    // start from a clean cache so isEmpty is meaningful
+    spark.sharedState.cacheManager.clearCache()
+    val scope = new CacheScope
+    val out = TextOps.exactDedup(planted, scope = scope)
+    out.count() // materialize → fp frame persisted
+    assert(scope.size == 1)
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    scope.release(blocking = true)
+    assert(scope.size == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release() must leave no cached frame behind")
+    // the returned plan stays valid after release (recomputes)
+    assert(out.count() == planted.count())
+    // ngram path tracks both its persists
+    val scope2 = new CacheScope
+    TextOps.ngramJaccardPairs(planted, 0.8, scope = scope2).count()
+    assert(scope2.size == 2)
+    scope2.release(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("REAL decode: PNG and WAV round-trip exact stats, chunk walk robust") {
     // PNG: ImageIO encode (real DEFLATE) → decode; mean of the decoded
     // raster must equal the exact zero-padded byte mean.
