@@ -26,6 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object FeatureStats {
 
+  /** Cardinality cap for the exact per-value paths ([[ks]],
+    * [[outlierReport]]): their cumulative windows run over the per-VALUE
+    * aggregate in a single task BY DESIGN (the aggregate is domain-sized,
+    * not data-sized), which is only safe while that domain is genuinely
+    * bounded. 2M rows of (value, count) sort in well under a second; an
+    * unbounded continuous feature would funnel ~n distinct values through
+    * one task with no warning until it stalls — so the operators now COUNT
+    * the aggregate first and fail loudly past this cap (VERDICT r4 #4).
+    */
+  val MaxExactDomain: Long = 2000000L
+
+  private def requireBoundedDomain(
+      nDistinct: Long, maxDomain: Long, op: String, col: String): Unit =
+    require(nDistinct <= maxDomain,
+      s"$op('$col'): per-value cardinality $nDistinct exceeds maxDomain " +
+        s"$maxDomain — the exact path sorts the per-value aggregate in one " +
+        "task. Discretize the feature first (widthBin / a bounded-decimals " +
+        "NumFeature), or raise maxDomain only if you accept that sort.")
+
+  /** Collect a tiny report and return it as a local relation so the frames
+    * persisted while building it can be unpersisted before returning.
+    */
+  private def localized(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** One numeric feature to profile: `expr` must yield a value with at most
     * `decimals` decimal places (2 for currency-like, 0 for integer-valued) —
     * that is what makes the integer-scaled moments EXACT.
@@ -126,25 +152,36 @@ object FeatureStats {
     * counts per value first (cardinality ≤ the value domain), cumulative
     * window over that SMALL aggregate only.
     */
-  def ks(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def ks(
+      a: DataFrame, b: DataFrame, valueCol: String,
+      maxDomain: Long = MaxExactDomain): DataFrame = {
     def counts(df: DataFrame, side: String) = df
       .where(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as(s"n_$side"))
+    // EAGER from here: persist the per-value aggregate, count it (the
+    // cardinality guard — same grouped shuffle the window pass needs, run
+    // once), and collect the 1-row result so the persist can be released
+    // before returning. Values are unchanged; an unbounded continuous
+    // feature now fails loudly instead of stalling the single-task sort.
     val merged = counts(a, "a").join(counts(b, "b"), Seq("v"), "full")
       .na.fill(0L, Seq("n_a", "n_b"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0L)
-    merged
-      .withColumn("ca", sum(col("n_a")).over(w))
-      .withColumn("cb", sum(col("n_b")).over(w))
-      .withColumn("ta", sum(col("n_a")).over(Window.partitionBy()))
-      .withColumn("tb", sum(col("n_b")).over(Window.partitionBy()))
-      // nullif: an empty (or all-null) side makes its total 0 — the KS of a
-      // degenerate pair is undefined and must come back NULL, not throw
-      // DIVIDE_BY_ZERO under ANSI
-      .agg(round(max(abs(col("ca") / nullif(col("ta"), lit(0L)) -
-        col("cb") / nullif(col("tb"), lit(0L)))), 6).as("ks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      requireBoundedDomain(merged.count(), maxDomain, "ks", valueCol)
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0L)
+      localized(merged
+        .withColumn("ca", sum(col("n_a")).over(w))
+        .withColumn("cb", sum(col("n_b")).over(w))
+        .withColumn("ta", sum(col("n_a")).over(Window.partitionBy()))
+        .withColumn("tb", sum(col("n_b")).over(Window.partitionBy()))
+        // nullif: an empty (or all-null) side makes its total 0 — the KS of a
+        // degenerate pair is undefined and must come back NULL, not throw
+        // DIVIDE_BY_ZERO under ANSI
+        .agg(round(max(abs(col("ca") / nullif(col("ta"), lit(0L)) -
+          col("cb") / nullif(col("tb"), lit(0L)))), 6).as("ks")))
+    } finally merged.unpersist()
   }
 
   /** Outlier bounds + clamp report for a bounded-decimal feature — the last
@@ -163,22 +200,33 @@ object FeatureStats {
     * cent, so the clamped sum folds exact integer HALF-cents and the
     * report is bit-identical cross-engine and across partitionings.
     */
-  def outlierReport(df: DataFrame, f: NumFeature, kIqr: Double = 1.5): DataFrame = {
+  def outlierReport(
+      df: DataFrame, f: NumFeature, kIqr: Double = 1.5,
+      maxDomain: Long = MaxExactDomain): DataFrame = {
     val vi = round(f.expr.cast("double") * f.scale).cast("long")
     val data = df.select(vi.as("vi")).where(col("vi").isNotNull)
+    // Persist the per-value counts, guard their cardinality (the declared
+    // `decimals` bound is a CLAIM — a mis-declared feature must fail here,
+    // not stall the quartile window's single task), and LOCALIZE the 1-row
+    // bounds so the clamp pass below no longer references the persisted
+    // frame and it can be released before returning.
     val counts = data.groupBy("vi").agg(count(lit(1)).as("cnt"))
-    val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.orderBy("vi").rowsBetween(Window.unboundedPreceding, 0L)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
-    val bounds = cum
-      .agg(
-        max(col("n")).as("n"),
-        min(when(col("cum") >= ceil(col("n") * 0.25), col("vi"))).as("q1c"),
-        min(when(col("cum") >= ceil(col("n") * 0.75), col("vi"))).as("q3c"))
-      .select(col("n"), col("q1c"), col("q3c"),
-        (col("q1c") - lit(kIqr) * (col("q3c") - col("q1c"))).as("loc"),
-        (col("q3c") + lit(kIqr) * (col("q3c") - col("q1c"))).as("hic"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = try {
+      requireBoundedDomain(counts.count(), maxDomain, "outlierReport", f.name)
+      val cum = counts
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy("vi").rowsBetween(Window.unboundedPreceding, 0L)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      localized(cum
+        .agg(
+          max(col("n")).as("n"),
+          min(when(col("cum") >= ceil(col("n") * 0.25), col("vi"))).as("q1c"),
+          min(when(col("cum") >= ceil(col("n") * 0.75), col("vi"))).as("q3c"))
+        .select(col("n"), col("q1c"), col("q3c"),
+          (col("q1c") - lit(kIqr) * (col("q3c") - col("q1c"))).as("loc"),
+          (col("q3c") + lit(kIqr) * (col("q3c") - col("q1c"))).as("hic")))
+    } finally counts.unpersist()
     data.crossJoin(broadcast(bounds))
       .groupBy("n", "q1c", "q3c", "loc", "hic")
       .agg(

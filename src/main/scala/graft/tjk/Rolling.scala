@@ -82,20 +82,51 @@ object Rolling {
     }
     if (hot.isEmpty) windowRolling(df, entity, tsCol, specs)
     else {
-      // coalesce(false): a NULL entity never matches isin — it must fall to
-      // the cold branch, not vanish from both. A null TS likewise routes
-      // cold even for a hot entity: it has no trailing frame to chunk (the
-      // chunked operator rejects it loudly), and on the Window path a
-      // null-order row's range frame sees only its null-ts peers, so
+      // coalesce(false): a NULL entity never matches the hot set — it must
+      // fall to the cold branch, not vanish from both. A null TS likewise
+      // routes cold even for a hot entity: it has no trailing frame to
+      // chunk (the chunked operator rejects it loudly), and on the Window
+      // path a null-order row's range frame sees only its null-ts peers, so
       // separating the two groups is result-invariant (suite-pinned).
-      val isHot = coalesce(col(entity).isin(hot: _*), lit(false)) &&
-        col(tsCol).isNotNull
+      //
+      // Routing mechanism scales with |hot| (VERDICT r4 #5): a small set
+      // compiles to an InSet literal (cheapest probe, tiny plan); past
+      // HotBroadcastMin keys a literal list baked into the plan is real
+      // analysis/codegen pressure (hotKeysFromCounts can hit the 10k cap
+      // routinely on hot-heavy counts), so the keys ride a broadcast
+      // left-join flag instead — plan size O(1) in |hot|, same semantics
+      // (SkewSuite equivalence pin at the cap).
+      val (routed, isHot) =
+        if (hot.size <= HotBroadcastMin)
+          (df, coalesce(col(entity).isin(hot: _*), lit(false)) &&
+            col(tsCol).isNotNull)
+        else {
+          val spark = df.sparkSession
+          val keySchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              entity, df.schema(entity).dataType)))
+          val keys = spark.createDataFrame(
+            java.util.Arrays.asList(
+              hot.map(org.apache.spark.sql.Row(_)): _*), keySchema)
+          val flagged = df.join(
+            broadcast(keys.withColumn("__graft_hot", lit(true))),
+            Seq(entity), "left")
+          (flagged,
+            coalesce(col("__graft_hot"), lit(false)) && col(tsCol).isNotNull)
+        }
       val chunkSpan = specs.map(_.windowMicros).max
-      val cold = windowRolling(df.where(!isHot), entity, tsCol, specs)
-      val hotDf = Skew.chunkedRollingAgg(df.where(isHot), entity, tsCol, specs, chunkSpan)
+      val cold = windowRolling(
+        routed.where(!isHot).drop("__graft_hot"), entity, tsCol, specs)
+      val hotDf = Skew.chunkedRollingAgg(
+        routed.where(isHot).drop("__graft_hot"), entity, tsCol, specs, chunkSpan)
       cold.unionByName(hotDf)
     }
   }
+
+  /** Above this many hot keys, routing switches from an `isin` literal to a
+    * broadcast join flag — see [[rollingAgg]].
+    */
+  private[graft] val HotBroadcastMin = 100
 
   private def windowRolling(
       df: DataFrame,
@@ -166,12 +197,73 @@ object Rolling {
     }
   }
 
+  /** Session registry of per-entity top-K counts published by the O10
+    * entity-manifest pass ([[Lineage.entityManifest]]): same plan-fingerprint
+    * keying (and the same no-strong-plan-reference rule) as the detection
+    * cache, values bounded at [[MaxHotKeys]] (key, count) pairs. Auto /
+    * Guarded detection consults this FIRST, so a manifest-bearing pipeline
+    * routes with ZERO detection scans by default (VERDICT r4 #6) — the
+    * manifest aggregation already counted every entity; re-scanning the
+    * input to re-derive a subset of it would be the "re-scan, don't reuse"
+    * anti-pattern O10 exists to kill.
+    */
+  private val countsRegistry =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[(Int, Int, String), Seq[(Any, Long)]]]()
+
+  /** Publish exact per-entity counts for `src` (top [[MaxHotKeys]] by count,
+    * DESCENDING — the registry answers "which entities exceed t" queries).
+    */
+  private[tjk] def registerEntityCounts(
+      src: DataFrame, entity: String, topDesc: Seq[(Any, Long)]): Unit = {
+    val spark = src.sparkSession
+    val canon = src.queryExecution.optimizedPlan.canonicalized
+    val key = (canon.semanticHash(), canon.collect { case _ => 1 }.sum, entity)
+    countsRegistry.synchronized {
+      val m = countsRegistry.computeIfAbsent(spark, _ =>
+        new java.util.LinkedHashMap[(Int, Int, String), Seq[(Any, Long)]](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(Int, Int, String), Seq[(Any, Long)]]): Boolean =
+            size > DetectionCacheMax
+        })
+      m.put(key, topDesc.take(MaxHotKeys))
+    }
+  }
+
+  /** Hot keys from the registry, if this (input plan, entity) has published
+    * counts that can answer `threshold`: a SATURATED registration (exactly
+    * MaxHotKeys entries) is a truncation — entities outside it have counts
+    * ≤ its smallest stored count, so it only answers thresholds at or above
+    * that floor (below it, fall through to detection; mis-answering would
+    * only mis-route, but there is no need to accept even that).
+    */
+  private def registeredHotKeys(
+      df: DataFrame, entity: String, threshold: Long): Option[Seq[Any]] = {
+    val canon = df.queryExecution.optimizedPlan.canonicalized
+    val key = (canon.semanticHash(), canon.collect { case _ => 1 }.sum, entity)
+    val hit = countsRegistry.synchronized {
+      Option(countsRegistry.get(df.sparkSession)).flatMap(m => Option(m.get(key)))
+    }
+    hit.flatMap { top =>
+      val saturated = top.size >= MaxHotKeys
+      // complete iff every entity OUTSIDE the stored set (count ≤ smallest
+      // stored) is provably below the threshold
+      val answerable = !saturated || top.lastOption.forall(_._2 < threshold)
+      if (answerable) Some(top.takeWhile(_._2 >= threshold).map(_._1))
+      else None
+    }
+  }
+
   private[graft] def detectHotKeysCached(
       df: DataFrame,
       entity: String,
       threshold: Long): Seq[Any] = {
     if (threshold <= 0L) return Nil
-    cachedKeys(df, "detect", entity, threshold)(detectHotKeys(df, entity, threshold))
+    registeredHotKeys(df, entity, threshold) match {
+      case Some(keys) => keys
+      case None =>
+        cachedKeys(df, "detect", entity, threshold)(detectHotKeys(df, entity, threshold))
+    }
   }
 
   /** Hot keys from PRECOMPUTED per-entity counts ([[SkewPolicy.Precomputed]]):

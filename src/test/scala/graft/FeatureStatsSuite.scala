@@ -192,6 +192,33 @@ class FeatureStatsSuite extends SparkTestBase {
     assert(r.getDouble(8) == 145.0) // 20 × 7.25
   }
 
+  test("cardinality guard: ks and outlierReport fail loudly past maxDomain") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a "continuous" feature: 200 distinct values — past a declared cap of
+    // 100, the exact per-value paths must refuse (the single-task cumulative
+    // sort is only safe on a bounded domain), not stall.
+    val cont = (1 to 200).map(_ * 0.01).toDF("value")
+    val exKs = intercept[IllegalArgumentException] {
+      FeatureStats.ks(cont, cont, "value", maxDomain = 100L)
+    }
+    assert(exKs.getMessage.contains("maxDomain"), exKs.getMessage)
+    val exOr = intercept[IllegalArgumentException] {
+      FeatureStats.outlierReport(cont,
+        NumFeature("value", col("value"), 2), maxDomain = 100L)
+    }
+    assert(exOr.getMessage.contains("maxDomain"), exOr.getMessage)
+    // at or under the cap both still work, values unchanged, and the guard
+    // path leaks no cached frame
+    spark.sharedState.cacheManager.clearCache()
+    assert(FeatureStats.ks(cont, cont, "value", maxDomain = 200L)
+      .collect()(0).getDouble(0) == 0.0)
+    FeatureStats.outlierReport(cont,
+      NumFeature("value", col("value"), 2), maxDomain = 200L).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "guarded paths must unpersist their per-value aggregate")
+  }
+
   test("clampOutliers + sigma bounds: flags and winsorizes consistently") {
     val spark2 = spark
     import spark2.implicits._

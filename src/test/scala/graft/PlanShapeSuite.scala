@@ -147,6 +147,60 @@ class PlanShapeSuite extends SparkTestBase {
     assert(exchanges(q50) == 1, q50.queryExecution.executedPlan.toString.take(2000))
   }
 
+  /** Physical Window nodes in the plan that materializes ALL output columns
+    * — exactly what Bench's noop sink executes.
+    */
+  private def windowNodes(df: org.apache.spark.sql.DataFrame): Int =
+    "Window \\[".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("benched plans keep their Window nodes (timing-v1 pruning bug class)") {
+    // Bench timed queries through .count() from r1 until r4: count()
+    // references no columns, so Catalyst pruned every Window whose output
+    // nothing consumed and the pure-projection queries were timed as bare
+    // scans. This pins BOTH halves of the fix: (a) the full-width plan —
+    // what the noop sink materializes — carries the expected Window count;
+    // (b) a count() sink still prunes them to zero, so if anyone swaps the
+    // sink back, (a) is the invariant that catches the regression.
+    val expected = Seq(
+      "q01_rolling_time" -> 7,
+      "q05_lag_ffill" -> 3,
+      "q09_sessionize" -> 3)
+    for ((name, n) <- expected) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert(windowNodes(df) == n,
+        s"$name full-width plan lost Window nodes (expected $n)")
+      assert(windowNodes(df.groupBy().count()) == 0,
+        s"$name: count() no longer prunes — update this pin's rationale")
+    }
+  }
+
+  test("Bench times through the noop sink, not a pruning action") {
+    // Source-text pin (the sink choice is driver-harness code with no
+    // plan to inspect from here): the timed block must write format("noop")
+    // and must not have regressed to .count().
+    val text = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val timed = text.substring(text.indexOf("System.nanoTime"))
+      .linesIterator.filterNot(_.trim.startsWith("//")).mkString("\n")
+    assert(timed.contains("""write.format("noop")"""),
+      "Bench's timed sink is no longer the noop datasource")
+    assert(!timed.contains(".count()"),
+      "Bench's timed path regressed to a pruning count() sink")
+  }
+
+  test("q08 exercises the merge fallback (MapPartitions node present)") {
+    // q08 legitimately shares q06's oracle SQL — same as-of semantics,
+    // different physical path. Pin that it actually PLANS the sort-merge
+    // mapPartitions fallback, so the physical-path coverage cannot silently
+    // collapse onto the window path while the oracle keeps passing.
+    val plan = SparkEntry.queries("q08_asof_merge")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      s"q08 no longer plans the mapPartitions merge fallback:\n${plan.take(2000)}")
+  }
+
   test("parquet scan prunes columns (fat text column never read when unused)") {
     val t = Tables.read(spark, "/root/testdata/sf0.001", "documents")
       .groupBy("lang").agg(count(lit(1)).as("n"))

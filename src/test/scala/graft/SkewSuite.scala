@@ -97,6 +97,39 @@ class SkewSuite extends SparkTestBase {
     assert(guarded == plain)
   }
 
+  test("broadcast hot routing (>HotBroadcastMin keys) == WindowOnly, no isin literal") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 120 hot entities (12 rows each, threshold 10) — past HotBroadcastMin,
+    // so routing must take the broadcast-flag path instead of baking a
+    // 120-element isin literal into the plan; plus a cold tail and a
+    // null-entity row (the routing-semantics edge the isin path pins).
+    val rows =
+      (for { e <- 0 until 120; i <- 0 until 12 }
+        yield (s"h$e", new java.sql.Timestamp(i * 60000L), (e + i).toDouble)) ++
+      (for { e <- 0 until 30; i <- 0 until 3 }
+        yield (s"c$e", new java.sql.Timestamp(i * 60000L), i.toDouble)) :+
+      ((null.asInstanceOf[String], new java.sql.Timestamp(0L), 1.0))
+    val df = rows.toDF("conv_id", "ts", "value")
+    val specs = Seq(
+      RollingSpec("value", Agg.Sum, H1),
+      RollingSpec("value", Agg.NUnique, H1))
+    assert(Rolling.detectHotKeys(df, "conv_id", 10L).size > Rolling.HotBroadcastMin)
+    val guarded = Rolling.rollingAgg(df, "conv_id", "ts", specs,
+      SkewPolicy.Guarded(10L))
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot routing did not broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("h99"),
+      "hot-key literals leaked into the plan — isin path used past the cap")
+    def fp(d: org.apache.spark.sql.DataFrame) = Lineage.tableFingerprint(
+      d.select(col("conv_id"), col("ts"),
+        round(col("sum_value_3600s"), 9).as("s"),
+        col("nunique_value_3600s")))
+    assert(fp(guarded) ==
+      fp(Rolling.rollingAgg(df, "conv_id", "ts", specs, SkewPolicy.WindowOnly)))
+  }
+
   test("guard routing keeps NULL-entity rows (cold branch), loses nothing") {
     // isin(null) is NULL, not false: without the coalesce in the router,
     // null-entity rows would vanish from BOTH branches. They must appear in
@@ -271,6 +304,31 @@ class SkewSuite extends SparkTestBase {
         fp(Rolling.rollingAgg(skewed, "conv_id", "ts", specs, SkewPolicy.WindowOnly)))
       // … and no detection scan of the input ran.
       assert(Rolling.detectionJobs.get() == before)
+    } finally spark.conf.unset(Rolling.HotThresholdKey)
+  }
+
+  test("entityManifest auto-wires routing: ZERO detection jobs under default Auto") {
+    // VERDICT r4 #6: a manifest-bearing pipeline must not re-scan the input
+    // to re-derive counts the O10 pass already aggregated. entityManifest
+    // publishes its top-K to the session registry; a later backfill over
+    // the SAME input under the DEFAULT policy routes from it.
+    Rolling.clearDetectionCache(spark)
+    val manifest = Lineage.entityManifest(skewed, "conv_id") // the O10 pass
+    assert(manifest.columns.toSeq == Seq("conv_id", "row_count"))
+    val before = Rolling.detectionJobs.get()
+    spark.conf.set(Rolling.HotThresholdKey, "100")
+    try {
+      val spec = FeatureSpec(rolling = Seq(RollingSpec("value", Agg.Sum, H1)))
+      val out = Pipeline.backfill(skewed, spec) // default SkewPolicy.Auto
+      assert(out.queryExecution.executedPlan.toString.contains("Union"),
+        "registry-fed Auto policy did not route the whale")
+      def fp(df: org.apache.spark.sql.DataFrame) = Lineage.tableFingerprint(
+        df.select(col("conv_id"), col("turn_idx"),
+          round(col("sum_value_3600s"), 9).as("s")))
+      assert(fp(out) == fp(Pipeline.backfill(skewed, spec,
+        skewPolicy = SkewPolicy.WindowOnly)))
+      assert(Rolling.detectionJobs.get() == before,
+        "backfill over a manifest-bearing input still ran a detection scan")
     } finally spark.conf.unset(Rolling.HotThresholdKey)
   }
 
