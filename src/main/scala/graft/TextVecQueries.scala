@@ -317,8 +317,13 @@ object TextVecQueries {
         col("doc_id"),
         octet_length(col("text")).cast("long").as("law_nbytes"),
         lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("law_header"),
-        expr("CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<INT>) " +
-          "ELSE transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))) END")
+        // split('') + filter is O(n) in the text length; the obvious
+        // transform(sequence(1, n), i -> ascii(substring(text, i, 1)))
+        // rescans the string per character (O(n²) per doc — measured ~3 s
+        // of pure law cost at sf0.1). Java regex split keeps a trailing ""
+        // under Spark's limit=-1, hence the filter; "" splits to [""] which
+        // filters to the empty array, so empty text needs no special case.
+        expr("transform(filter(split(text, ''), c -> c <> ''), c -> ascii(c))")
           .as("bs"),
         (pmod(xxhash64(col("text"), lit(2)), lit(8L)) + 1L).cast("int").as("law_nf"),
         substring(md5(col("text")), 1, 1).as("slice"))
