@@ -346,7 +346,10 @@ object TextVecQueries {
       when(ok, out).otherwise(raise_error(concat(
         lit(s"q24 law: $name mismatch at doc_id="),
         col("doc_id").cast("string")))).as(name)
-    feats.join(law, Seq("doc_id"))
+    // bs is an int per text CHARACTER (4× corpus bytes for the sliced docs)
+    // and is fully consumed into law_mean/law_fh above — never let it ride
+    // the join exchange.
+    feats.join(law.drop("bs", "slice"), Seq("doc_id"))
       .select(
         col("doc_id"),
         guard("n_bytes", col("n_bytes") === col("law_nbytes"), col("n_bytes")),
