@@ -263,6 +263,52 @@ object FeatureStatsQueries {
     } finally split.unpersist()
   }
 
+  /** q51 — outlier bounds for a CONTINUOUS feature (per-turn-normalized
+    * spend, `value / (turn_idx + 1)`): per-value cardinality ~ the row
+    * count, which the exact path's domain guard REJECTS by design — this
+    * is the operator the guard's message points to
+    * ([[FeatureStats.outlierBoundsApprox]]). One mergeable GK-sketch
+    * aggregation: no per-value shuffle, no single-task cumulative window.
+    * Rows-only at the driver (a merge-order-dependent sketch is not
+    * DuckDB-replicable), so the accuracy claim is enforced IN-QUERY (the
+    * q23/q42/q24 pattern): a second exact aggregation derives each
+    * reported quartile's true rank range over the same persisted feature
+    * and requires it to intersect [p·n − n/accuracy, p·n + n/accuracy]
+    * (+2 rows slack for the 6-dp output rounding) — a sketch regression
+    * fails the driver sweep loudly instead of passing as `no_oracle`.
+    */
+  def outlierApprox(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 10000
+    val data = Tables.transcripts(spark, dir)
+      .select((col("value") / (col("turn_idx") + 1)).as("f"))
+      .where(col("f").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rep = FeatureStats.outlierBoundsApprox(
+        data, col("f"), "value_per_turn", accuracy = acc)
+      val rows = rep.collect()
+      val r = rows(0)
+      val n = r.getAs[Long]("n")
+      if (n > 0) { // empty input: nothing for the sketch to be wrong about
+        val q1 = r.getAs[Double]("q1")
+        val q3 = r.getAs[Double]("q3")
+        val k = data.agg(
+          sum(when(col("f") < q1, 1L).otherwise(0L)),
+          sum(when(col("f") <= q1, 1L).otherwise(0L)),
+          sum(when(col("f") < q3, 1L).otherwise(0L)),
+          sum(when(col("f") <= q3, 1L).otherwise(0L))).collect()(0)
+        val eps = n.toDouble / acc + 2
+        def check(lt: Long, le: Long, p: Double, which: String, v: Double): Unit =
+          require(lt + 1 <= p * n + eps && le >= p * n - eps,
+            f"q51 law: $which=$v rank range [${lt + 1}, $le] misses target " +
+              f"${p * n}%.1f ± $eps%.1f (the GK n/accuracy guarantee)")
+        check(k.getLong(0), k.getLong(1), 0.25, "q1", q1)
+        check(k.getLong(2), k.getLong(3), 0.75, "q3", q3)
+      }
+      localRelation(spark, rows, rep.schema)
+    } finally data.unpersist()
+  }
+
   val asofDriftSql: String =
     s"""WITH ${Tables.transcriptsSqlCte},
        |${CoreQueries.purchasesSqlCte},

@@ -66,6 +66,8 @@ object SparkEntry {
     "q48_outlier_bounds"    -> (FeatureStatsQueries.outlierReport _),
     "q49_asof_drift"        -> (FeatureStatsQueries.asofDrift _),
     "q50_media_decode"      -> (TextVecQueries.mediaDecode _),
+    "q51_outlier_approx"    -> (FeatureStatsQueries.outlierApprox _),
+    "q52_corpus_curate"     -> (TextVecQueries.corpusCurate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -115,6 +117,8 @@ object SparkEntry {
     "q40_cube"           -> CoreQueries.cubeAggSql,
     // q41: the streaming mode's oracle IS the batch window SQL (parity by
     // design); q42 is approximate by design → rows-only.
+    // q51: GK sketch (merge-order-dependent) — rows-only with an in-query
+    // rank law.
     "q41_streaming_rolling" -> SourceStreamQueries.streamingRollingSql,
     "q43_csv_json"          -> SourceStreamQueries.csvJsonSourceSql,
     "q44_feature_profile"   -> FeatureStatsQueries.featureProfileSql,
@@ -124,5 +128,6 @@ object SparkEntry {
     "q48_outlier_bounds"    -> FeatureStatsQueries.outlierReportSql,
     "q49_asof_drift"        -> FeatureStatsQueries.asofDriftSql,
     "q50_media_decode"      -> TextVecQueries.mediaDecodeSql,
+    "q52_corpus_curate"     -> TextVecQueries.corpusCurateSql,
   )
 }

@@ -26,29 +26,42 @@ object TextVecQueries {
         "stop_ratio", "lang_pred", "quality_score", "fp")
       .orderBy("doc_id")
 
-  val textStatsSql: String = {
+  /** Shared DuckDB CTE chain computing the text-stats columns (used by the
+    * q16 oracle and the q52 curation oracle — one source of truth, the
+    * shared-fragment discipline from the drift SQLs).
+    */
+  private val statsCtesSql: String = {
     val sEn = TextOps.stopCountSql("en")
     val sEs = TextOps.stopCountSql("es")
     val sDe = TextOps.stopCountSql("de")
     val sFr = TextOps.stopCountSql("fr")
-    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
        |s AS (SELECT doc_id, text,
        |  CAST(len(ws) AS BIGINT) AS n_tokens,
        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish,
        |  round(len(regexp_extract_all(text, '[.!?,;:]')) * 1.0 / nullif(length(text), 0), 6) AS punct_ratio,
        |  $sEn AS s_en, $sEs AS s_es, $sDe AS s_de, $sFr AS s_fr
        |FROM w),
-       |r AS (SELECT *, round(s_en * 1.0 / nullif(n_tokens, 0), 6) AS stop_ratio FROM s)
+       |r AS (SELECT *, round(s_en * 1.0 / nullif(n_tokens, 0), 6) AS stop_ratio FROM s)""".stripMargin
+  }
+
+  private val langPredSql: String =
+    """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+      |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+      |       WHEN s_fr > 0 THEN 'fr'
+      |       ELSE 'unknown' END""".stripMargin
+
+  private val qualitySql: String =
+    "round(1.0 / (1.0 + exp(-(0.5 * ln(1 + n_tokens) - 5.0 * punct_ratio - 2.0 * stop_ratio))), 6)"
+
+  val textStatsSql: String =
+    s"""WITH $statsCtesSql
        |SELECT doc_id, n_tokens, n_bpeish, punct_ratio, stop_ratio,
-       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-       |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-       |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-       |       WHEN s_fr > 0 THEN 'fr'
-       |       ELSE 'unknown' END AS lang_pred,
-       |  round(1.0 / (1.0 + exp(-(0.5 * ln(1 + n_tokens) - 5.0 * punct_ratio - 2.0 * stop_ratio))), 6) AS quality_score,
+       |  $langPredSql AS lang_pred,
+       |  $qualitySql AS quality_score,
        |  md5(text) AS fp
        |FROM r ORDER BY doc_id""".stripMargin
-  }
 
   // ------------------------------------------------------------ dedup
 
@@ -61,6 +74,75 @@ object TextVecQueries {
       |      FROM fp GROUP BY fp)
       |SELECT f.doc_id, f.fp, g.canonical_id, g.group_size
       |FROM fp f JOIN g USING (fp) ORDER BY f.doc_id""".stripMargin
+
+  /** q52 — end-to-end corpus CURATION, the composition a training-data
+    * pipeline actually runs over a raw crawl: text-analysis scoring (q16
+    * operator) → quality/length filter → exact dedup over the SURVIVORS
+    * (q17 operator; canonical = min doc_id) → whole-entity holdout split
+    * (q39 operator, md5 buckets) → per-(split, language) corpus stats.
+    * Four operators composed end-to-end, and every stage is replicated by
+    * the DuckDB oracle (the q47/q49 composition pattern applied to the
+    * document pipeline), so the check is bit-exact across the whole chain.
+    *
+    * Scale shape: scoring + filtering are narrow (codegen'd built-ins over
+    * the scan); dedup is ONE shuffle on the md5 fingerprint; the
+    * canonical-survivor join is id-only (the fat text column never crosses
+    * a join exchange); the final stats are a map-side-combinable grouped
+    * aggregation over ≤ (splits × languages) rows.
+    */
+  def corpusCurate(spark: SparkSession, dir: String): DataFrame =
+    curate(docs(spark, dir), minQuality = CurateMinQuality,
+      minTokens = CurateMinTokens)
+
+  private val CurateMinQuality = 0.84
+  private val CurateMinTokens = 24L
+
+  /** The curation chain over an arbitrary docs frame (suite entry). */
+  private[graft] def curate(
+      d: DataFrame, minQuality: Double, minTokens: Long): DataFrame = {
+    val kept = TextOps.textStats(d).where(col("text").isNotNull &&
+      col("quality_score") >= minQuality && col("n_tokens") >= minTokens)
+    // canonical survivors of exact dedup WITHIN the kept corpus; the join
+    // back for (n_tokens, lang_pred) carries ids + two small columns only
+    val canon = TextOps.exactDedup(kept)
+      .where(col("doc_id") === col("canonical_id"))
+      .select("doc_id", "group_size")
+    Split.entityHoldout(
+        kept.select("doc_id", "n_tokens", "lang_pred")
+          .join(canon, "doc_id")
+          .withColumn("did", col("doc_id").cast("string")),
+        "did", testFraction = 0.25)
+      .groupBy("split", "lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("group_size")).as("n_source_docs"))
+      .orderBy("split", "lang_pred")
+  }
+
+  val corpusCurateSql: String =
+    s"""WITH $statsCtesSql,
+       |st AS (SELECT doc_id, text, n_tokens,
+       |         $langPredSql AS lang_pred,
+       |         $qualitySql AS quality_score
+       |       FROM r),
+       |kept AS (SELECT doc_id, text, n_tokens, lang_pred FROM st
+       |         WHERE text IS NOT NULL
+       |           AND quality_score >= $CurateMinQuality AND n_tokens >= $CurateMinTokens),
+       |fp AS (SELECT doc_id, md5(text) AS fp, n_tokens, lang_pred FROM kept),
+       |g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+       |      FROM fp GROUP BY fp),
+       |canon AS (SELECT f.doc_id, f.n_tokens, f.lang_pred, g.group_size
+       |          FROM fp f JOIN g ON f.fp = g.fp AND f.doc_id = g.canonical_id),
+       |lab AS (SELECT *,
+       |  CASE WHEN CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1 AS INTEGER) * 16
+       |         + CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS INTEGER) < 64
+       |       THEN 'test' ELSE 'train' END AS split
+       |  FROM canon)
+       |SELECT split, lang_pred, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(group_size) AS BIGINT) AS n_source_docs
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shared DuckDB shingle CTE (word 3-grams, distinct per doc). */
   private val shingleCte: String =
@@ -284,29 +366,35 @@ object TextVecQueries {
     * replicate from parquet) ⇒ rows-only at the driver, BUT guarded by an
     * in-query law (the q23/q42 pattern, closing the last driver-blind
     * entry): every stub column is recomputed from the text bytes with pure
-    * SQL expressions inside the query (raise_error riding the join the law
-    * adds) — byte count, header hex and frame count required equal PER ROW;
-    * the byte-walking checks (byte mean, frame-hash fold) on an
-    * md5-selected 1/16 slice of docs, per the VERDICT r4 contract, so the
-    * law costs O(n/16) in corpus bytes instead of O(n). A regression
-    * anywhere in the stub pipeline — batching, padding, byte order, the
-    * fold itself — now fails the driver sweep loudly instead of passing as
-    * `no_oracle`. Null-text docs are excluded like q50 (nothing to encode).
+    * SQL expressions inside the query — byte count, header hex and frame
+    * count required equal PER ROW; the byte-walking checks (byte mean,
+    * frame-hash fold) on an md5-selected 1/16 slice of docs, per the
+    * VERDICT r4 contract, so the law costs O(n/16) in corpus bytes instead
+    * of O(n). The law rides the SAME narrow plan as the extractor: the law
+    * columns are computed in the projection feeding the media synthesis and
+    * carried through [[MediaOps.extractFeaturesKeeping]] — one scan, zero
+    * joins (the earlier join-back form re-scanned documents and paid a
+    * shuffle join purely for the law). A regression anywhere in the stub
+    * pipeline — batching, padding, byte order, the fold itself — fails the
+    * driver sweep loudly instead of passing as `no_oracle`. Null-text docs
+    * are excluded like q50 (nothing to encode).
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val d = asciiGuarded(docs(spark, dir)).where(col("text").isNotNull)
-    mediaLawCheck(MediaOps.extractFeatures(MediaOps.syntheticMedia(d)).toDF(), d)
+    lawGuards(MediaOps.extractFeaturesKeeping(
+      MediaOps.syntheticMedia(lawAnnotated(d), keep = LawCols)))
   }
 
-  /** The q24 guard, factored so TextVecSuite can prove the law FIRES on a
-    * tampered `feats` (a law that never fails is no law). `d` must be the
-    * same ASCII, non-null-text docs frame `feats` was derived from.
+  private[graft] val LawCols =
+    Seq("law_nbytes", "law_header", "law_mean", "law_nf", "law_fh")
+
+  /** Adds the q24 law columns (text-byte recomputations of every stub
+    * column) to a docs frame, keeping all existing columns. Factored so
+    * TextVecSuite can drive the exact shipped composition and tamper with
+    * the combined frame.
     */
-  private[graft] def mediaLawCheck(feats: DataFrame, d: DataFrame): DataFrame = {
+  private[graft] def lawAnnotated(d: DataFrame): DataFrame = {
     val mod = MediaOps.FrameHashMod
-    // byte array from text — ASCII-guarded, so ascii(char) == byte value.
-    // NOT sequence(1, n) bare: Spark's sequence(1, 0) DESCENDS to [1, 0],
-    // so the empty-text case needs the explicit CASE.
     val frameExpr =
       s"""transform(sequence(0, law_nf - 1), f ->
          |  aggregate(
@@ -315,41 +403,50 @@ object TextVecQueries {
          |      CAST((CAST(size(bs) AS BIGINT) * (f + 1)) div law_nf AS INT)
          |        - CAST((CAST(size(bs) AS BIGINT) * f) div law_nf AS INT)),
          |    CAST(1 AS BIGINT), (h, x) -> (h * 31 + x) % ${mod}L))""".stripMargin
-    val law = d.select(
-        col("doc_id"),
-        octet_length(col("text")).cast("long").as("law_nbytes"),
-        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("law_header"),
-        // The byte array is built ONLY for the md5 slice (the checks that
-        // consume it — mean + frame hashes — are sliced per the law's
-        // contract below); the cheap checks (n_bytes, header, frame count)
-        // stay per-row. split('') + filter is O(n) in the text length; the
-        // obvious transform(sequence(1, n), i -> ascii(substring(text, i,
-        // 1))) rescans the string per character (O(n²) per doc). Java regex
-        // split keeps a trailing "" under Spark's limit=-1, hence the
-        // filter; "" splits to [""] which filters to the empty array, so
-        // empty text needs no special case.
+    d
+      .withColumn("law_nbytes", octet_length(col("text")).cast("long"))
+      .withColumn("law_header",
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8"))))
+      // The byte array is built ONLY for the md5 slice (the checks that
+      // consume it — mean + frame hashes — are sliced per the law's
+      // contract); the cheap checks (n_bytes, header, frame count) stay
+      // per-row. split('') + filter is O(n) in the text length; the obvious
+      // transform(sequence(1, n), i -> ascii(substring(text, i, 1)))
+      // rescans the string per character (O(n²) per doc). Java regex split
+      // keeps a trailing "" under Spark's limit=-1, hence the filter; ""
+      // splits to [""] which filters to the empty array, so empty text
+      // needs no special case. bs is an int per text CHARACTER (4× corpus
+      // bytes for the sliced docs) and is fully consumed into
+      // law_mean/law_fh below — it is dropped before the extractor, so it
+      // never crosses a serialization boundary (Catalyst keeps it in its
+      // own projection: expensive + referenced twice ⇒ not collapsed).
+      .withColumn("bs",
         expr("CASE WHEN substring(md5(text), 1, 1) = '0' THEN " +
-          "transform(filter(split(text, ''), c -> c <> ''), c -> ascii(c)) END")
-          .as("bs"),
-        (pmod(xxhash64(col("text"), lit(2)), lit(8L)) + 1L).cast("int").as("law_nf"),
-        substring(md5(col("text")), 1, 1).as("slice"))
+          "transform(filter(split(text, ''), c -> c <> ''), c -> ascii(c)) END"))
+      .withColumn("law_nf",
+        (pmod(xxhash64(col("text"), lit(2)), lit(8L)) + 1L).cast("int"))
       .withColumn("law_mean",
         when(col("bs").isNull, lit(null).cast("double"))
           .when(col("law_nbytes") === 0L, lit(0.0))
           .otherwise(round(expr("aggregate(bs, CAST(0 AS BIGINT), (a, x) -> a + x)")
             .cast("double") / col("law_nbytes").cast("double"), 6)))
       .withColumn("law_fh",
-        when(col("slice") === "0",
+        when(col("bs").isNotNull,
           when(col("law_nbytes") === 0L, expr("CAST(array() AS ARRAY<BIGINT>)"))
             .otherwise(expr(frameExpr))))
+      .drop("bs")
+  }
+
+  /** The q24 guards over the combined (features ++ law columns) frame,
+    * factored so TextVecSuite can prove each guard FIRES on tampering (a
+    * law that never fails is no law).
+    */
+  private[graft] def lawGuards(both: DataFrame): DataFrame = {
     def guard(name: String, ok: Column, out: Column): Column =
       when(ok, out).otherwise(raise_error(concat(
         lit(s"q24 law: $name mismatch at doc_id="),
         col("doc_id").cast("string")))).as(name)
-    // bs is an int per text CHARACTER (4× corpus bytes for the sliced docs)
-    // and is fully consumed into law_mean/law_fh above — never let it ride
-    // the join exchange.
-    feats.join(law.drop("bs", "slice"), Seq("doc_id"))
+    both
       .select(
         col("doc_id"),
         guard("n_bytes", col("n_bytes") === col("law_nbytes"), col("n_bytes")),

@@ -43,7 +43,8 @@ object FeatureStats {
       s"$op('$col'): per-value cardinality $nDistinct exceeds maxDomain " +
         s"$maxDomain — the exact path sorts the per-value aggregate in one " +
         "task. Discretize the feature first (widthBin / a bounded-decimals " +
-        "NumFeature), or raise maxDomain only if you accept that sort.")
+        "NumFeature), use outlierBoundsApprox for a continuous domain, or " +
+        "raise maxDomain only if you accept that sort.")
 
   /** Collect a tiny report and return it as a local relation so the frames
     * persisted while building it can be unpersisted before returning.
@@ -243,6 +244,36 @@ object FeatureStats {
         col("n_below"), col("n_above"),
         round(col("s2") / 2.0 / f.scale.toDouble, 6).as("sum_clamped"))
   }
+
+  /** Approximate Tukey fences for UNBOUNDED / continuous features — the
+    * scale path past [[MaxExactDomain]] (the exact per-value path's guard
+    * points here). Quartiles come from `approx_percentile` (Greenwald–
+    * Khanna sketch): mergeable partial aggregates, ONE map-side-combinable
+    * pass over the data, no per-value shuffle and no single-task sort — the
+    * cumulative window of [[outlierReport]] never exists, so no domain
+    * guard is needed. Guarantee: each returned quartile is an actual data
+    * value whose exact rank is within n/accuracy of the target rank (q51's
+    * in-query law re-derives the ranks and enforces exactly this).
+    * Output head matches [[outlierReport]]: (feature, n, q1, q3, lo, hi);
+    * below/above counts and clamped sums need the bounds first and cost one
+    * more pass either way — compose with [[clampOutliers]].
+    */
+  def outlierBoundsApprox(
+      df: DataFrame, c: Column, name: String,
+      kIqr: Double = 1.5, accuracy: Int = 10000): DataFrame =
+    df.where(c.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(c.cast("double"), array(lit(0.25), lit(0.75)),
+          lit(accuracy)).as("q"))
+      .select(
+        lit(name).as("feature"), col("n"),
+        round(col("q").getItem(0), 6).as("q1"),
+        round(col("q").getItem(1), 6).as("q3"),
+        round(col("q").getItem(0) -
+          lit(kIqr) * (col("q").getItem(1) - col("q").getItem(0)), 6).as("lo"),
+        round(col("q").getItem(1) +
+          lit(kIqr) * (col("q").getItem(1) - col("q").getItem(0)), 6).as("hi"))
 
   /** Moment-based (k·σ) bounds from the exact integer moments — the cheap
     * single-aggregation alternative when quartiles aren't needed. Same

@@ -33,9 +33,11 @@ object MediaOps {
   /** Synthesize a deterministic media table from documents: the UTF-8 bytes
     * of `text` stand in for the encoded payload; metadata derives from a
     * content hash. Purely for plumbing tests — production reads real blobs.
+    * `keep` names extra input columns carried through (for downstream
+    * passthrough via [[extractFeaturesKeeping]]).
     */
-  def syntheticMedia(docs: DataFrame): DataFrame =
-    docs.select(
+  def syntheticMedia(docs: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("blob"),
       struct(
@@ -43,7 +45,7 @@ object MediaOps {
         (pmod(xxhash64(col("text")), lit(480L)) + 32L).cast("int").as("width"),
         (pmod(xxhash64(col("text"), lit(1)), lit(480L)) + 32L).cast("int").as("height"),
         (pmod(xxhash64(col("text"), lit(2)), lit(8L)) + 1L).cast("int").as("n_frames"))
-        .as("meta"))
+        .as("meta")) ++ keep.map(col): _*)
 
   /** STUB — stands in for the real image/audio decode (??? in spirit: the
     * container has no codec libs). Deterministic: header = first 4 bytes hex,
@@ -232,5 +234,41 @@ object MediaOps {
         }
       }
     }(Encoders.product[MediaFeatures])
+  }
+
+  /** [[extractFeatures]] with column PASSTHROUGH: every input column beyond
+    * (doc_id, blob, meta) is carried through the batched extractor and
+    * appended after the feature columns. This is the 100 TB composition
+    * shape — at scale you never decode-then-JOIN features back to their
+    * metadata (a full extra shuffle of the corpus); you carry the columns
+    * through the narrow map. Same decode core ([[decodeStub]] +
+    * [[sampleFrames]]) and the same per-partition batch structure as the
+    * typed path.
+    */
+  def extractFeaturesKeeping(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val s = media.schema
+    val core = Set("doc_id", "blob", "meta")
+    val extras = s.fields.filterNot(f => core.contains(f.name))
+    val outSchema = StructType(
+      Encoders.product[MediaFeatures].schema.fields ++ extras)
+    val iDoc = s.fieldIndex("doc_id")
+    val iBlob = s.fieldIndex("blob")
+    val iMeta = s.fieldIndex("meta")
+    val iExtras = extras.map(f => s.fieldIndex(f.name))
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real pipeline: decoder init once per batch here
+        batch.iterator.map { r =>
+          val blob = r.getAs[Array[Byte]](iBlob)
+          val nFrames = r.getStruct(iMeta).getAs[Int]("n_frames")
+          val (header, mean) = decodeStub(blob)
+          Row.fromSeq(
+            Seq(r.getAs[Long](iDoc), blob.length.toLong, header, mean,
+              sampleFrames(blob, nFrames)) ++ iExtras.map(r.get))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 }

@@ -108,9 +108,14 @@ object Rolling {
           val keys = spark.createDataFrame(
             java.util.Arrays.asList(
               hot.map(org.apache.spark.sql.Row(_)): _*), keySchema)
+          // re-select in the ORIGINAL column order: a using-join moves the
+          // key column to the front, which would make the hot-routed output
+          // ordering differ from the isin branch (callers see "input
+          // columns + one per spec" either way)
           val flagged = df.join(
-            broadcast(keys.withColumn("__graft_hot", lit(true))),
-            Seq(entity), "left")
+              broadcast(keys.withColumn("__graft_hot", lit(true))),
+              Seq(entity), "left")
+            .select(df.columns.map(col) :+ col("__graft_hot"): _*)
           (flagged,
             coalesce(col("__graft_hot"), lit(false)) && col(tsCol).isNotNull)
         }

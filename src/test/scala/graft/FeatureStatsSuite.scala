@@ -219,6 +219,55 @@ class FeatureStatsSuite extends SparkTestBase {
       "guarded paths must unpersist their per-value aggregate")
   }
 
+  test("outlierBoundsApprox: agrees with the exact fences on a bounded domain") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(11L)
+    val df = rng.shuffle((1 to 1000).map(_ * 0.01).toList).toDF("value")
+    // exact: q1 = rank-250 value = 2.50, q3 = 7.50, lo = -5.0, hi = 15.0
+    val ex = FeatureStats.outlierReport(df, NumFeature("value", col("value"), 2))
+      .collect()(0)
+    val ap = FeatureStats.outlierBoundsApprox(df, col("value"), "value",
+      accuracy = 100000).collect()(0)
+    assert(ap.getString(0) == "value" && ap.getAs[Long]("n") == 1000L)
+    // accuracy 1e5 on 1000 rows ⇒ rank error < 1 ⇒ within one 0.01 grid step
+    assert(math.abs(ap.getAs[Double]("q1") - ex.getAs[Double]("q1")) <= 0.01)
+    assert(math.abs(ap.getAs[Double]("q3") - ex.getAs[Double]("q3")) <= 0.01)
+    assert(math.abs(ap.getAs[Double]("lo") - ex.getAs[Double]("lo")) <= 0.05)
+    assert(math.abs(ap.getAs[Double]("hi") - ex.getAs[Double]("hi")) <= 0.05)
+  }
+
+  test("outlierBoundsApprox: the continuous-domain path past the exact guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the exact shape the guard rejects: per-value cardinality == row count
+    val cont = (1 to 20000).map(i => math.sqrt(i.toDouble)).toDF("value")
+    val ex = intercept[IllegalArgumentException] {
+      FeatureStats.outlierReport(cont,
+        NumFeature("value", col("value"), 6), maxDomain = 1000L)
+    }
+    assert(ex.getMessage.contains("outlierBoundsApprox"),
+      s"guard must point to the approx path: ${ex.getMessage}")
+    val bounds = FeatureStats.outlierBoundsApprox(
+      cont, col("value"), "sqrt", accuracy = 1000)
+    val r = bounds.collect()(0)
+    assert(r.getAs[Long]("n") == 20000L)
+    // GK guarantee: each quartile's true rank within n/accuracy = 20 of the
+    // target. values are sqrt(i) ⇒ rank(v) = floor(v²); +2 slack for the
+    // 6-dp output rounding.
+    def rank(v: Double): Long = math.floor(v * v + 1e-9).toLong
+    assert(math.abs(rank(r.getAs[Double]("q1")) - 5000L) <= 22,
+      s"q1 rank ${rank(r.getAs[Double]("q1"))}")
+    assert(math.abs(rank(r.getAs[Double]("q3")) - 15000L) <= 22,
+      s"q3 rank ${rank(r.getAs[Double]("q3"))}")
+    // scale shape: ONE mergeable aggregation — partial (map-side) sketch
+    // present, no per-value shuffle, no cumulative window, no range sort
+    val plan = bounds.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_percentile_approx"), plan.take(2000))
+    assert(!plan.contains("Window") && !plan.contains("Exchange rangepartitioning"),
+      plan.take(2000))
+  }
+
   test("clampOutliers + sigma bounds: flags and winsorizes consistently") {
     val spark2 = spark
     import spark2.implicits._

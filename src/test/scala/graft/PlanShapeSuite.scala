@@ -147,6 +147,19 @@ class PlanShapeSuite extends SparkTestBase {
     assert(exchanges(q50) == 1, q50.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("q24 law rides the narrow media plan: one scan, no join, one exchange") {
+    // The in-query law must not cost a second documents scan or a shuffle
+    // join back to the features: its columns are computed in the projection
+    // feeding the extractor and carried through passthrough, so the whole
+    // guarded pipeline is scan → project → mapPartitions → project → sort.
+    val q24 = TextVecQueries.mediaFeatures(spark, "/root/testdata/sf0.001")
+    val plan = q24.queryExecution.executedPlan.toString
+    assert(exchanges(q24) == 1, plan.take(2000))
+    assert(!plan.contains("Join"), s"law re-introduced a join:\n${plan.take(2000)}")
+    assert("FileScan|BatchScan".r.findAllIn(plan).length == 1,
+      s"law re-introduced a second scan:\n${plan.take(2000)}")
+  }
+
   /** Physical Window nodes in the plan that materializes ALL output columns
     * — exactly what Bench's noop sink executes.
     */

@@ -265,27 +265,46 @@ class TextVecSuite extends SparkTestBase {
   }
 
   test("q24 in-query law: passes the real pipeline, FIRES on tampering") {
-    val d = planted
-    val feats = MediaOps.extractFeatures(MediaOps.syntheticMedia(d)).toDF()
+    // the exact shipped composition (map-side law: columns computed in the
+    // projection feeding the extractor, carried through passthrough)
+    val both = MediaOps.extractFeaturesKeeping(MediaOps.syntheticMedia(
+      TextVecQueries.lawAnnotated(planted), keep = TextVecQueries.LawCols))
     // real pipeline: every row clears every guard
-    assert(TextVecQueries.mediaLawCheck(feats, d).count() == d.count())
+    assert(TextVecQueries.lawGuards(both).count() == planted.count())
     // each tampered column must trip its own guard — a law that cannot
     // fail is no law
     def fires(bad: org.apache.spark.sql.DataFrame, what: String): Unit = {
       val ex = intercept[Exception] {
-        TextVecQueries.mediaLawCheck(bad, d).collect()
+        TextVecQueries.lawGuards(bad).collect()
       }
       def mentions(t: Throwable): Boolean = t != null &&
         (Option(t.getMessage).exists(_.contains("q24 law")) || mentions(t.getCause))
       assert(mentions(ex), s"$what tamper did not trip the q24 law: $ex")
     }
-    fires(feats.withColumn("mean_byte", col("mean_byte") + 0.5), "mean_byte")
-    fires(feats.withColumn("n_bytes", col("n_bytes") + 1L), "n_bytes")
-    fires(feats.withColumn("header_hex", lit("deadbeef")), "header_hex")
+    fires(both.withColumn("mean_byte", col("mean_byte") + 0.5), "mean_byte")
+    fires(both.withColumn("n_bytes", col("n_bytes") + 1L), "n_bytes")
+    fires(both.withColumn("header_hex", lit("deadbeef")), "header_hex")
     // frame-hash tamper only fires on the md5-selected 1/16 slice — corrupt
     // EVERY row's hashes so at least one sliced doc is affected
-    fires(feats.withColumn("frame_hashes",
+    fires(both.withColumn("frame_hashes",
       expr("transform(frame_hashes, h -> h + 1)")), "frame_hashes")
+  }
+
+  test("corpus curation composes filter → dedup → split with exact totals") {
+    // thresholds open: every planted doc passes the filter, so the totals
+    // are pure dedup+split arithmetic
+    val out = TextVecQueries.curate(planted, minQuality = 0.0, minTokens = 1L)
+      .collect()
+    val nDocs = out.map(_.getAs[Long]("n_docs")).sum
+    val nSource = out.map(_.getAs[Long]("n_source_docs")).sum
+    assert(nDocs == planted.count() - 4, "4 exact duplicates must collapse")
+    assert(nSource == planted.count(), "every kept doc represented exactly once")
+    // md5 buckets + min-id canonicals ⇒ bit-deterministic across runs
+    val again = TextVecQueries.curate(planted, 0.0, 1L).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // tightening the length filter can only shrink the curated corpus
+    val tight = TextVecQueries.curate(planted, 0.0, 41L).collect()
+    assert(tight.map(_.getAs[Long]("n_docs")).sum < nDocs)
   }
 
   test("CacheScope releases operator-persisted intermediates") {
