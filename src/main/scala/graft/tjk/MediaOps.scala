@@ -251,6 +251,11 @@ object MediaOps {
     val s = media.schema
     val core = Set("doc_id", "blob", "meta")
     val extras = s.fields.filterNot(f => core.contains(f.name))
+    val featNames = Encoders.product[MediaFeatures].schema.fieldNames.toSet
+    val clash = extras.map(_.name).filter(featNames)
+    require(clash.isEmpty,
+      s"extractFeaturesKeeping: passthrough column(s) ${clash.mkString(", ")} " +
+        "collide with feature output columns — rename them upstream")
     val outSchema = StructType(
       Encoders.product[MediaFeatures].schema.fields ++ extras)
     val iDoc = s.fieldIndex("doc_id")

@@ -290,6 +290,17 @@ class TextVecSuite extends SparkTestBase {
       expr("transform(frame_hashes, h -> h + 1)")), "frame_hashes")
   }
 
+  test("extractFeaturesKeeping rejects passthrough columns shadowing features") {
+    // a passthrough column named like a feature output would silently
+    // produce a duplicate-named column; the guard must fail loudly instead
+    val media = MediaOps.syntheticMedia(planted)
+      .withColumn("n_bytes", lit(0L))
+    val ex = intercept[IllegalArgumentException] {
+      MediaOps.extractFeaturesKeeping(media)
+    }
+    assert(ex.getMessage.contains("n_bytes"))
+  }
+
   test("corpus curation composes filter → dedup → split with exact totals") {
     // thresholds open: every planted doc passes the filter, so the totals
     // are pure dedup+split arithmetic
