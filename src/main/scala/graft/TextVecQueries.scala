@@ -97,27 +97,38 @@ object TextVecQueries {
   private val CurateMinQuality = 0.84
   private val CurateMinTokens = 24L
 
-  /** The curation chain over an arbitrary docs frame (suite entry). */
+  /** The curation chain over an arbitrary docs frame (suite entry).
+    * ONE scoring pass over the corpus: the narrow `(doc_id, fp, n_tokens,
+    * lang_pred)` projection is persisted and feeds BOTH the dedup grouping
+    * and the survivor columns — the fat text column never outlives the
+    * scan, and scoring is never recomputed for the join side. The tiny
+    * final report (≤ splits × languages rows) is localized so the persist
+    * can be released before returning (the localized() pattern the other
+    * report queries use).
+    */
   private[graft] def curate(
       d: DataFrame, minQuality: Double, minTokens: Long): DataFrame = {
-    val kept = TextOps.textStats(d).where(col("text").isNotNull &&
-      col("quality_score") >= minQuality && col("n_tokens") >= minTokens)
-    // canonical survivors of exact dedup WITHIN the kept corpus; the join
-    // back for (n_tokens, lang_pred) carries ids + two small columns only
-    val canon = TextOps.exactDedup(kept)
-      .where(col("doc_id") === col("canonical_id"))
-      .select("doc_id", "group_size")
-    Split.entityHoldout(
-        kept.select("doc_id", "n_tokens", "lang_pred")
-          .join(canon, "doc_id")
-          .withColumn("did", col("doc_id").cast("string")),
-        "did", testFraction = 0.25)
-      .groupBy("split", "lang_pred")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("sum_tokens"),
-        sum(col("group_size")).as("n_source_docs"))
-      .orderBy("split", "lang_pred")
+    val scope = new CacheScope
+    try {
+      val kept = scope.track(TextOps.textStats(d)
+        .where(col("text").isNotNull &&
+          col("quality_score") >= minQuality && col("n_tokens") >= minTokens)
+        .select(col("doc_id"), col("fp"),
+          col("n_tokens"), col("lang_pred"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val canon = TextOps.dedupByFingerprint(kept)
+        .where(col("doc_id") === col("canonical_id"))
+      val rep = Split.entityHoldout(
+          canon.withColumn("did", col("doc_id").cast("string")),
+          "did", testFraction = 0.25)
+        .groupBy("split", "lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("group_size")).as("n_source_docs"))
+      FeatureStatsQueries.localized(d.sparkSession, rep)
+        .orderBy("split", "lang_pred")
+    } finally scope.release()
   }
 
   val corpusCurateSql: String =

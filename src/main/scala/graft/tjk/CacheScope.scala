@@ -28,7 +28,7 @@ import org.apache.spark.sql.DataFrame
 final class CacheScope {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private[tjk] def track(df: DataFrame): DataFrame = synchronized {
+  private[graft] def track(df: DataFrame): DataFrame = synchronized {
     frames += df; df
   }
 

@@ -220,35 +220,36 @@ object MediaOps {
   /** Batched per-partition feature extraction — the Scala analogue of a
     * `mapInPandas` batch UDF: rows are processed in fixed-size batches per
     * partition (batch shape matters for real decoders that amortize codec
-    * init), schema in/out is declared via Encoders.
+    * init), schema in/out is declared via Encoders. Typed facade over
+    * [[extractFeaturesKeeping]] — ONE batching/decode core, two surfaces.
     */
-  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
-    val ds = media.as(Encoders.product[MediaRow])
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        // real pipeline: decoder init once per batch here
-        batch.iterator.map { r =>
-          val (header, mean) = decodeStub(r.blob)
-          MediaFeatures(r.doc_id, r.blob.length.toLong, header,
-            mean, sampleFrames(r.blob, r.meta.n_frames))
-        }
-      }
-    }(Encoders.product[MediaFeatures])
-  }
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] =
+    extractFeaturesKeeping(media.select("doc_id", "blob", "meta"), batchSize)
+      .as(Encoders.product[MediaFeatures])
 
   /** [[extractFeatures]] with column PASSTHROUGH: every input column beyond
     * (doc_id, blob, meta) is carried through the batched extractor and
     * appended after the feature columns. This is the 100 TB composition
     * shape — at scale you never decode-then-JOIN features back to their
     * metadata (a full extra shuffle of the corpus); you carry the columns
-    * through the narrow map. Same decode core ([[decodeStub]] +
-    * [[sampleFrames]]) and the same per-partition batch structure as the
-    * typed path.
+    * through the narrow map. This is the single batching/decode core
+    * ([[decodeStub]] + [[sampleFrames]]); [[extractFeatures]] is its typed
+    * no-passthrough facade.
     */
   def extractFeaturesKeeping(media: DataFrame, batchSize: Int = 64): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.StructType
-    val s = media.schema
+    import org.apache.spark.sql.types.{BinaryType, StructType}
+    require(media.schema("blob").dataType == BinaryType,
+      "extractFeaturesKeeping: blob must be BINARY, got " +
+        media.schema("blob").dataType.simpleString)
+    // Normalize the core types the Row path reads positionally — the typed
+    // encoder inserts these up-casts at analysis, but raw Row getters would
+    // CCE mid-task on an IntegerType doc_id with no hint about the schema.
+    val norm = media
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("meta",
+        col("meta").withField("n_frames", col("meta.n_frames").cast("int")))
+    val s = norm.schema
     val core = Set("doc_id", "blob", "meta")
     val extras = s.fields.filterNot(f => core.contains(f.name))
     val featNames = Encoders.product[MediaFeatures].schema.fieldNames.toSet
@@ -262,7 +263,7 @@ object MediaOps {
     val iBlob = s.fieldIndex("blob")
     val iMeta = s.fieldIndex("meta")
     val iExtras = extras.map(f => s.fieldIndex(f.name))
-    media.mapPartitions { it =>
+    norm.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // real pipeline: decoder init once per batch here
         batch.iterator.map { r =>

@@ -140,11 +140,21 @@ object TextOps {
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val fp = scope.track(docs.select(col(idCol), md5(col("text")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    dedupByFingerprint(fp, idCol).select(col(idCol), col("fp"),
+      col("canonical_id"), col("group_size"))
+  }
+
+  /** The grouping core of [[exactDedup]] over a frame that ALREADY carries
+    * an `fp` fingerprint column: appends `(canonical_id, group_size)` per
+    * group, keeping every input column. Callers that computed (and
+    * persisted) a fingerprint projection as part of a wider pass reuse it
+    * here instead of paying [[exactDedup]]'s second corpus scan.
+    */
+  def dedupByFingerprint(fp: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val groups = fp.groupBy("fp").agg(
       min(col(idCol)).as("canonical_id"),
       count(lit(1)).as("group_size"))
-    fp.join(groups, "fp").select(col(idCol), col("fp"),
-      col("canonical_id"), col("group_size"))
+    fp.join(groups, "fp")
   }
 
   // ------------------------------------------------------------ shingles

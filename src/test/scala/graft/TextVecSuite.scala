@@ -269,8 +269,10 @@ class TextVecSuite extends SparkTestBase {
     // projection feeding the extractor, carried through passthrough)
     val both = MediaOps.extractFeaturesKeeping(MediaOps.syntheticMedia(
       TextVecQueries.lawAnnotated(planted), keep = TextVecQueries.LawCols))
-    // real pipeline: every row clears every guard
-    assert(TextVecQueries.lawGuards(both).count() == planted.count())
+    // real pipeline: every row clears every guard — materialize via
+    // collect(), NOT count(): count() lets Catalyst prune the guard
+    // projection (it needs no columns), which would make this vacuous
+    assert(TextVecQueries.lawGuards(both).collect().length == planted.count())
     // each tampered column must trip its own guard — a law that cannot
     // fail is no law
     def fires(bad: org.apache.spark.sql.DataFrame, what: String): Unit = {
@@ -316,6 +318,47 @@ class TextVecSuite extends SparkTestBase {
     // tightening the length filter can only shrink the curated corpus
     val tight = TextVecQueries.curate(planted, 0.0, 41L).collect()
     assert(tight.map(_.getAs[Long]("n_docs")).sum < nDocs)
+  }
+
+  test("q52 curate reads the corpus once and releases its persist") {
+    // Fat texts make the parquet file dwarf the narrow cached projection,
+    // so task input bytes discriminate ONE corpus scan (~1× file size)
+    // from the old score-twice shape (~2×: unpersisted scoring recomputed
+    // for the survivor join's left side).
+    val dir = java.nio.file.Files.createTempDirectory("tjk_curate_scan").toString
+    spark.range(200).selectExpr("id AS doc_id",
+      "concat(concat('doc', id, ' '), concat_ws(' ', transform(sequence(1, 400), " +
+        "i -> concat('tok', pmod(id * 31 + i, 97))))) AS text")
+      .write.mode("overwrite").parquet(dir)
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(sz).sum else f.length()
+    val fileBytes = sz(new java.io.File(dir))
+    spark.sharedState.cacheManager.clearCache()
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = try {
+      val r = TextVecQueries.curate(spark.read.parquet(dir), 0.0, 1L).collect()
+      var prev = -1L // async listener bus: wait until the counter settles
+      while (prev != bytesRead.get()) { prev = bytesRead.get(); Thread.sleep(250) }
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 200L)
+    // 1.5× headroom: footer/dictionary re-reads + cache-backed reads of the
+    // narrow projection also count as input bytes
+    assert(bytesRead.get() < (1.5 * fileBytes).toLong,
+      s"curate read ${bytesRead.get()} bytes for a $fileBytes-byte corpus — " +
+        "looks like the corpus was scored twice")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "curate must release its scoped persist before returning")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(dir))
   }
 
   test("CacheScope releases operator-persisted intermediates") {
