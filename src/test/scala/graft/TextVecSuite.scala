@@ -303,6 +303,28 @@ class TextVecSuite extends SparkTestBase {
     assert(ex.getMessage.contains("n_bytes"))
   }
 
+  test("extractFeaturesKeeping normalizes narrowed input types") {
+    // Row getters read positionally, so an upstream source that narrowed
+    // doc_id / n_frames to INT must be up-cast at the boundary (the typed
+    // encoder path did this implicitly) — and the result must be
+    // byte-identical to the canonical-schema run
+    val media = MediaOps.syntheticMedia(planted)
+    val narrowed = media
+      .withColumn("doc_id", col("doc_id").cast("int"))
+    val want = MediaOps.extractFeaturesKeeping(media)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val got = MediaOps.extractFeaturesKeeping(narrowed)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want)
+    // a non-binary blob (e.g. the raw text column mis-wired in) must fail
+    // at plan time with the schema in the message, not CCE mid-task
+    val bad = intercept[IllegalArgumentException] {
+      MediaOps.extractFeaturesKeeping(
+        media.withColumn("blob", lit("oops")))
+    }
+    assert(bad.getMessage.contains("BINARY") || bad.getMessage.contains("string"))
+  }
+
   test("corpus curation composes filter → dedup → split with exact totals") {
     // thresholds open: every planted doc passes the filter, so the totals
     // are pure dedup+split arithmetic
