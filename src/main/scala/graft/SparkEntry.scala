@@ -68,6 +68,8 @@ object SparkEntry {
     "q50_media_decode"      -> (TextVecQueries.mediaDecode _),
     "q51_outlier_approx"    -> (FeatureStatsQueries.outlierApprox _),
     "q52_corpus_curate"     -> (TextVecQueries.corpusCurate _),
+    "q53_corpus_mix"        -> (TextVecQueries.corpusMix _),
+    "q54_seq_pack"          -> (TextVecQueries.seqPack _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,5 +131,7 @@ object SparkEntry {
     "q49_asof_drift"        -> FeatureStatsQueries.asofDriftSql,
     "q50_media_decode"      -> TextVecQueries.mediaDecodeSql,
     "q52_corpus_curate"     -> TextVecQueries.corpusCurateSql,
+    "q53_corpus_mix"        -> TextVecQueries.corpusMixSql,
+    "q54_seq_pack"          -> TextVecQueries.seqPackSql,
   )
 }

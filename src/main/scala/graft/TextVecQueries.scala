@@ -155,6 +155,104 @@ object TextVecQueries {
        |  CAST(sum(group_size) AS BIGINT) AS n_source_docs
        |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ mixing
+
+  /** Integer mixing weights (target share = w / ΣW) and their sum — shared
+    * by the Spark path and the oracle so both engines run the same
+    * all-integer cut arithmetic.
+    */
+  private val MixWeights = Mix.DefaultWeights
+  private val MixWeightSum = MixWeights.values.sum
+
+  /** q53: rebalance the corpus to target per-language token shares by
+    * deterministic bucket downsampling ([[Mix.mixReport]]) — the
+    * data-mixing step of a training pipeline. ONE corpus scan (the same
+    * persisted-narrow-projection discipline as q52); everything after the
+    * per-group token aggregation is ≤-groups-sized.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame =
+    mixed(docs(spark, dir))
+
+  private[graft] def mixed(d: DataFrame): DataFrame = {
+    val scope = new CacheScope
+    try {
+      val scored = scope.track(TextOps.textStats(d)
+        .where(col("text").isNotNull)
+        .select("doc_id", "lang_pred", "n_tokens")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      FeatureStatsQueries.localized(d.sparkSession,
+          Mix.mixReport(scored, MixWeights))
+        .orderBy("lang_pred")
+    } finally scope.release()
+  }
+
+  val corpusMixSql: String = {
+    val wRows = MixWeights.toSeq.sortBy(_._1)
+      .map { case (g, w) => s"('$g', $w)" }.mkString(", ")
+    val bucket =
+      """CAST(strpos('0123456789abcdef', substring(md5(CAST(s.doc_id AS VARCHAR)), 31, 1)) - 1 AS INTEGER) * 16
+        |             + CAST(strpos('0123456789abcdef', substring(md5(CAST(s.doc_id AS VARCHAR)), 32, 1)) - 1 AS INTEGER)""".stripMargin
+    s"""WITH $statsCtesSql,
+       |st AS (SELECT doc_id, n_tokens, $langPredSql AS lang_pred
+       |       FROM r WHERE text IS NOT NULL),
+       |wt(lang_pred, w) AS (VALUES $wRows),
+       |grp AS (SELECT lang_pred, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         count(*) AS n_docs_total FROM st GROUP BY 1),
+       |gw AS (SELECT g.lang_pred, g.total_tokens, g.n_docs_total, w.w
+       |       FROM grp g JOIN wt w USING (lang_pred) WHERE w.w > 0),
+       |kk AS (SELECT min(total_tokens * $MixWeightSum // w) AS k FROM gw),
+       |cuts AS (SELECT lang_pred,
+       |  CAST(least(256, ((SELECT k FROM kk) * w // $MixWeightSum) * 256 // total_tokens) AS INTEGER) AS cut,
+       |  total_tokens, n_docs_total FROM gw),
+       |kept AS (SELECT s.lang_pred, count(*) AS n_docs_kept,
+       |    CAST(sum(s.n_tokens) AS BIGINT) AS kept_tokens
+       |  FROM st s JOIN cuts c USING (lang_pred)
+       |  WHERE $bucket < c.cut
+       |  GROUP BY 1)
+       |SELECT c.lang_pred, c.cut,
+       |  coalesce(k.n_docs_kept, CAST(0 AS BIGINT)) AS n_docs_kept,
+       |  coalesce(k.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+       |  c.total_tokens, c.n_docs_total
+       |FROM cuts c LEFT JOIN kept k USING (lang_pred) ORDER BY lang_pred""".stripMargin
+  }
+
+  // ------------------------------------------------------------ packing
+
+  private val PackBudget = 256L
+
+  /** q54: greedily pack documents into ≤[[PackBudget]]-token training
+    * sequences ([[Pack.packGreedy]]): md5-sharded, walked in doc_id order
+    * per shard — one narrow shuffle, per-doc deterministic assignment.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    Pack.packGreedy(
+      docs(spark, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      PackBudget)
+      .orderBy("doc_id")
+
+  /** The oracle replicates the greedy walk with a recursive CTE stepping
+    * one document per shard per iteration — bit-exact, no tolerance.
+    */
+  val seqPackSql: String =
+    s"""WITH RECURSIVE
+       |st AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS INTEGER) AS shard
+       |  FROM documents WHERE text IS NOT NULL),
+       |base AS (SELECT doc_id, n_tokens, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rn
+       |  FROM st),
+       |walk AS (
+       |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+       |  FROM base WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+       |    CASE WHEN w.acc + b.n_tokens > $PackBudget THEN w.pack_id + 1 ELSE w.pack_id END,
+       |    CASE WHEN w.acc + b.n_tokens > $PackBudget THEN b.n_tokens ELSE w.acc + b.n_tokens END
+       |  FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1)
+       |SELECT doc_id, shard, pack_id, n_tokens FROM walk ORDER BY doc_id""".stripMargin
+
   /** Shared DuckDB shingle CTE (word 3-grams, distinct per doc). */
   private val shingleCte: String =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents

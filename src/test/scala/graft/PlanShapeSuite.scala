@@ -160,6 +160,19 @@ class PlanShapeSuite extends SparkTestBase {
       s"law re-introduced a second scan:\n${plan.take(2000)}")
   }
 
+  test("q54 packing is one narrow shuffle plus the output sort — no join") {
+    // scan → narrow project → hash-repartition by shard (+ in-partition
+    // sort) → streaming walk → range exchange for the dump's ORDER BY.
+    // A second scan or a join would mean the packer stopped being the
+    // single-pass operator it claims to be.
+    val q54 = TextVecQueries.seqPack(spark, "/root/testdata/sf0.001")
+    val plan = q54.queryExecution.executedPlan.toString
+    assert(exchanges(q54) == 2, plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert("FileScan|BatchScan".r.findAllIn(plan).length == 1,
+      plan.take(2000))
+  }
+
   /** Physical Window nodes in the plan that materializes ALL output columns
     * — exactly what Bench's noop sink executes.
     */

@@ -383,6 +383,76 @@ class TextVecSuite extends SparkTestBase {
     deleteRec(new java.io.File(dir))
   }
 
+  test("q54 greedy packing matches a sequential reference walk, obeys the pack laws") {
+    val docsTok = planted.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val budget = 100L
+    val out = Pack.packGreedy(docsTok, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("n_tokens")))
+    assert(out.length == planted.count())
+    // independent sequential reference: walk each shard in doc_id order
+    val ref = out.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+      var pack = 0L; var acc = 0L; var first = true
+      rows.sortBy(_._1).map { case (id, _, _, t) =>
+        if (first) { first = false; acc = t }
+        else if (acc + t > budget) { pack += 1; acc = t }
+        else acc += t
+        (id, shard, pack)
+      }
+    }.toSet
+    assert(out.map(r => (r._1, r._2, r._3)).toSet == ref)
+    // pack laws: no pack overflows unless it is a single oversized doc, and
+    // greedy maximality — the doc that OPENS pack p+1 must not fit pack p
+    val byPack = out.groupBy(r => (r._2, r._3))
+      .view.mapValues(_.sortBy(_._1)).toMap
+    byPack.foreach { case ((s, p), rs) =>
+      val tot = rs.map(_._4).sum
+      assert(tot <= budget || rs.length == 1, s"overfull pack ($s,$p)")
+      byPack.get((s, p + 1)).foreach { next =>
+        assert(tot + next.head._4 > budget, s"pack ($s,$p) closed early")
+      }
+    }
+    // physical input layout must not change a single assignment
+    val shuffled = Pack.packGreedy(docsTok.repartition(7), budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"))).toSet
+    assert(shuffled == out.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("q53 mix cuts hit the target shares and keep the binding group whole") {
+    // constructed groups with exact token totals: en 1000, es 100 at equal
+    // weights -> K = min(2000, 200) = 200, targets 100 tokens each,
+    // cut_en = 100*256/1000 = 25, cut_es = 100*256/100 = 256
+    val scored = (
+      (0 until 100).map(i => (i.toLong, "en", 10L)) ++
+        (0 until 10).map(i => ((1000 + i).toLong, "es", 10L))
+      ).toDF("doc_id", "lang_pred", "n_tokens")
+    val rep = Mix.mixReport(scored, Map("en" -> 1L, "es" -> 1L)).collect()
+      .map(r => r.getAs[String]("lang_pred") -> r).toMap
+    assert(rep("en").getAs[Int]("cut") == 25)
+    assert(rep("es").getAs[Int]("cut") == 256)
+    assert(rep("es").getAs[Long]("n_docs_kept") == 10L)
+    assert(rep("es").getAs[Long]("kept_tokens") == 100L)
+    // the sampled group keeps a real subset (exact membership = md5 buckets,
+    // deterministic; magnitude tracks cut/256)
+    val keptEn = rep("en").getAs[Long]("n_docs_kept")
+    assert(keptEn > 0 && keptEn < 100, s"en kept $keptEn of 100")
+    // zero-weight / unlisted groups are dropped from the mix entirely
+    val only = Mix.mixReport(scored, Map("en" -> 1L)).collect()
+    assert(only.map(_.getAs[String]("lang_pred")).toSeq == Seq("en"))
+  }
+
+  test("q53 mix releases its scoped persist and is deterministic") {
+    spark.sharedState.cacheManager.clearCache()
+    val a = TextVecQueries.mixed(planted).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "mixed must release its scoped persist before returning")
+    val b = TextVecQueries.mixed(planted).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.map(_.getAs[String]("lang_pred")).toSet
+      .subsetOf(Mix.DefaultWeights.keySet))
+  }
+
   test("CacheScope releases operator-persisted intermediates") {
     // earlier tests in this shared session persist via unmanaged scopes —
     // start from a clean cache so isEmpty is meaningful
