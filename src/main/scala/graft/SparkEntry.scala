@@ -70,6 +70,8 @@ object SparkEntry {
     "q52_corpus_curate"     -> (TextVecQueries.corpusCurate _),
     "q53_corpus_mix"        -> (TextVecQueries.corpusMix _),
     "q54_seq_pack"          -> (TextVecQueries.seqPack _),
+    "q55_decontam"          -> (TextVecQueries.decontam _),
+    "q56_repetition"        -> (TextVecQueries.repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -133,5 +135,7 @@ object SparkEntry {
     "q52_corpus_curate"     -> TextVecQueries.corpusCurateSql,
     "q53_corpus_mix"        -> TextVecQueries.corpusMixSql,
     "q54_seq_pack"          -> TextVecQueries.seqPackSql,
+    "q55_decontam"          -> TextVecQueries.decontamSql,
+    "q56_repetition"        -> TextVecQueries.repetitionSql,
   )
 }

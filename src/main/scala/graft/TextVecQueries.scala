@@ -253,6 +253,83 @@ object TextVecQueries {
        |  FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1)
        |SELECT doc_id, shard, pack_id, n_tokens FROM walk ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ decontamination
+
+  /** ≈5% (13/256 md5 buckets) of documents stand in for the held-out
+    * evaluation set — the q39 whole-entity holdout style, so the probe set
+    * is deterministic and both engines derive it identically.
+    */
+  private val DecontamProbeCut = 13
+  private val DecontamGram = 8
+
+  /** q55: benchmark decontamination — flag training documents sharing any
+    * word 8-gram with the held-out probe set (the standard n-gram-overlap
+    * contamination check run before training). Both gram streams reuse the
+    * q18/q19 shingle machinery; the join key is md5(gram) (16 bytes), so
+    * the shuffle exchanges fixed-width hashes, never 8-word strings.
+    *
+    * Scale shape: TWO corpus scans by design — the exploded gram stream is
+    * ~k× the corpus, so persisting it to "save" a scan would cache far
+    * more bytes than the scan reads (the opposite trade of q52/q53, whose
+    * cached projections are corpus-fraction-sized). In production the
+    * probe side is a separate, small benchmark table; deriving it from the
+    * same table here keeps the sandbox self-contained.
+    */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).where(col("text").isNotNull)
+    val bucket = Split.entityBucket(col("doc_id").cast("string"))
+    val probes = TextOps.shingles(d.where(bucket < DecontamProbeCut), DecontamGram)
+      .select(md5(col("g")).as("gh")).distinct()
+    val train = TextOps.shingles(d.where(bucket >= DecontamProbeCut), DecontamGram)
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    // shingles() emits DISTINCT grams per doc and probes are distinct, so
+    // the join multiplicity per (doc, gram) is 1: count(*) IS the distinct
+    // shared-gram count, with no count-distinct shuffle
+    train.join(probes, "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  val decontamSql: String = {
+    val gram = (0 until DecontamGram).map(k => s"ws[i.x + $k]")
+      .mkString(" || ' ' || ")
+    val bucket =
+      """CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1 AS INTEGER) * 16
+        |    + CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS INTEGER)""".stripMargin
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |  $bucket AS bucket
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT DISTINCT doc_id, bucket, md5($gram) AS gh
+       |      FROM w, UNNEST(generate_series(1, len(ws) - ${DecontamGram - 1})) AS i(x)
+       |      WHERE len(ws) >= $DecontamGram),
+       |probe AS (SELECT DISTINCT gh FROM g WHERE bucket < $DecontamProbeCut)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+       |FROM g t JOIN probe p USING (gh)
+       |WHERE t.bucket >= $DecontamProbeCut
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------ repetition
+
+  /** q56: intra-document 3-gram repetition ([[TextOps.repetitionStats]]) —
+    * map-only, zero data shuffle (PlanShapeSuite pins scan → project →
+    * output sort only).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(docs(spark, dir)).orderBy("doc_id")
+
+  val repetitionSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+      |g AS (SELECT doc_id,
+      |  CAST(len(ws) - 2 AS BIGINT) AS n_grams,
+      |  CAST(len(list_distinct([ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+      |    FOR i IN range(1, len(ws) - 1)])) AS BIGINT) AS n_distinct
+      |  FROM w)
+      |SELECT doc_id, n_grams, n_distinct,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS rep_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
   /** Shared DuckDB shingle CTE (word 3-grams, distinct per doc). */
   private val shingleCte: String =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -167,6 +167,28 @@ object TextOps {
         s"array_distinct(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k))))"
       )).as("g"))
 
+  /** Intra-document k-gram repetition — the duplicate-n-gram quality
+    * signal of crawl-filtering pipelines (a document that keeps repeating
+    * the same phrases is boilerplate/spam): per doc, total vs distinct
+    * word k-grams and `rep_ratio = 1 − distinct/total`. Pure per-row
+    * expressions over the token array — NO explode, NO shuffle: the
+    * operator is map-only and scales linearly with the scan. Integer
+    * counts first, ONE float division rounded at 6dp (the cross-engine
+    * discipline that keeps ratio columns bit-exact).
+    */
+  def repetitionStats(
+      docs: DataFrame, k: Int = Shingle, idCol: String = "doc_id"): DataFrame =
+    withTokens(docs)
+      .where(col("text").isNotNull && size(col("ws")) >= k)
+      .select(col(idCol),
+        (size(col("ws")) - (k - 1)).cast("long").as("n_grams"),
+        expr(s"size(array_distinct(transform(sequence(0, size(ws) - $k), " +
+          s"i -> concat_ws(' ', slice(ws, i + 1, $k)))))")
+          .cast("long").as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_grams").cast("double"), 6))
+
   /** Shingles whose document frequency exceeds the cap — the quadratic
     * hot-block set. Tiny by construction (AQE broadcasts it).
     */

@@ -173,6 +173,16 @@ class PlanShapeSuite extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("q56 repetition is map-only: scan → project → output sort, no shuffle") {
+    // the duplicate-n-gram signal is a per-row expression over the token
+    // array — an explode+groupBy formulation would shuffle ~k× the corpus
+    val q56 = TextVecQueries.repetition(spark, "/root/testdata/sf0.001")
+    val plan = q56.queryExecution.executedPlan.toString
+    assert(exchanges(q56) == 1, plan.take(2000)) // only the dump's ORDER BY
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert("FileScan|BatchScan".r.findAllIn(plan).length == 1, plan.take(2000))
+  }
+
   /** Physical Window nodes in the plan that materializes ALL output columns
     * — exactly what Bench's noop sink executes.
     */

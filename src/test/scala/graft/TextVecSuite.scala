@@ -453,6 +453,45 @@ class TextVecSuite extends SparkTestBase {
       .subsetOf(Mix.DefaultWeights.keySet))
   }
 
+  test("q55 decontamination flags exactly the train docs sharing a probe 8-gram") {
+    // choose ids on each side of the md5-bucket split with the SAME text,
+    // plus an uncontaminated train doc — the flagged set must be exactly
+    // the planted overlap
+    val ids = spark.range(0, 300)
+      .select(col("id"), Split.entityBucket(col("id").cast("string")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probeId = ids.collectFirst { case (i, b) if b < 13 => i }.get
+    val trainId = ids.collectFirst { case (i, b) if b >= 13 => i }.get
+    val cleanId = ids.collectFirst { case (i, b) if b >= 13 && i != trainId => i }.get
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 tokens → 3 8-grams
+    val fixture = Seq(
+      (probeId, shared),
+      (trainId, shared),
+      (cleanId, (1 to 10).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tjk_decontam").toString
+    fixture.write.mode("overwrite").parquet(dir + "/documents.parquet")
+    val out = TextVecQueries.decontam(spark, dir).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared_grams")))
+      .toSeq == Seq((trainId, 3L)))
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(new java.io.File(dir))
+  }
+
+  test("q56 repetition ratio counts duplicate 3-grams exactly") {
+    val fixture = Seq(
+      (1L, "a b a b a b a b"),          // 6 grams, 2 distinct → 0.666667
+      (2L, "w1 w2 w3 w4 w5"),           // 3 grams, all distinct → 0.0
+      (3L, "x y")                        // < 3 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(fixture).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("rep_ratio")))
+    assert(out.toSeq == Seq((1L, 6L, 2L, 0.666667), (2L, 3L, 3L, 0.0)))
+  }
+
   test("CacheScope releases operator-persisted intermediates") {
     // earlier tests in this shared session persist via unmanaged scopes —
     // start from a clean cache so isEmpty is meaningful
