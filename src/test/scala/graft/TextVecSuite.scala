@@ -419,6 +419,28 @@ class TextVecSuite extends SparkTestBase {
     assert(shuffled == out.map(r => (r._1, r._3)).toSet)
   }
 
+  test("q54 oversized documents anchor their own pack without stalling the walk") {
+    // tokens chosen so every branch runs: an oversized doc (> budget) both
+    // mid-walk and as a shard anchor, plus normal fills around them
+    val budget = 100L
+    val fixture = (0L until 64L).map { id =>
+      (id, if (id % 5 == 0) 150L else 40L) // every 5th doc cannot fit any pack
+    }.toDF("doc_id", "n_tokens")
+    val out = Pack.packGreedy(fixture, budget).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("n_tokens")))
+    assert(out.length == 64)
+    val byPack = out.groupBy(r => (r._2, r._3))
+    // every oversized doc is ALONE in its pack (nothing can join it), and
+    // packs never mix an oversized doc with fills
+    byPack.values.foreach { rs =>
+      if (rs.exists(_._4 > budget)) assert(rs.length == 1,
+        s"oversized doc shares a pack: $rs")
+      else assert(rs.map(_._4).sum <= budget, s"overfull pack: $rs")
+    }
+    assert(out.count(_._4 > budget) == 13) // all 13 oversized docs present
+  }
+
   test("q53 mix cuts hit the target shares and keep the binding group whole") {
     // constructed groups with exact token totals: en 1000, es 100 at equal
     // weights -> K = min(2000, 200) = 200, targets 100 tokens each,
