@@ -173,6 +173,23 @@ class PlanShapeSuite extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("q53 mix joins its tiny cut table via broadcast, never sort-merging the corpus") {
+    // the corpus-sized side must meet the ≤-groups-row cut table through a
+    // BroadcastHashJoin; a SortMergeJoin here would shuffle the whole
+    // scored projection just to attach ≤5 cut values
+    val d = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val scored = TextOps.textStats(d).where(col("text").isNotNull)
+      .select("doc_id", "lang_pred", "n_tokens")
+    val rep = Mix.mixReport(scored, Mix.DefaultWeights)
+    rep.collect() // AQE: judge the FINAL plan, after runtime re-planning
+    // the AQE dump appends the pre-replanning "== Initial Plan ==" section —
+    // judge only the final plan above it
+    val plan = rep.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q56 repetition is map-only: scan → project → output sort, no shuffle") {
     // the duplicate-n-gram signal is a per-row expression over the token
     // array — an explode+groupBy formulation would shuffle ~k× the corpus
