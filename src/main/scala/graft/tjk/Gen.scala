@@ -82,6 +82,52 @@ object Gen {
         timestamp_micros(col("ts_micros")).as("ts"))
   }
 
+  /** English-stopword-leaning vocabulary so the language-ID heuristic fires
+    * (mirrors the driver corpus: word salad, 10–100 tokens, no digits).
+    */
+  private val DocVocab: Seq[String] = Seq(
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+    "table", "query", "scan", "filter", "join", "agg", "window", "sort",
+    "row", "column", "value", "key", "hash", "merge", "batch", "stream",
+    "spark", "data", "fast", "slow", "big", "small", "line", "part",
+    "order", "group", "customer", "vector", "token", "model")
+
+  /** Distributed deterministic documents generator — the document-table
+    * counterpart of [[transcripts]] for doc-pipeline scale benches. Same
+    * discipline: `spark.range` + column expressions only, pure function of
+    * (nDocs, seed). Planted duplicate structure keeps dedup/decontamination
+    * non-vacuous at any size: every doc in the first 1% band copies the
+    * text of a donor in the second half, so exact-dup groups exist and —
+    * because the md5 probe bucketing is independent of content — a
+    * predictable fraction of donor/copy pairs straddles the q55 holdout.
+    */
+  def documents(
+      spark: SparkSession,
+      nDocs: Long,
+      seed: Long = 42L,
+      medianLen: Int = 50): DataFrame = {
+    val v = DocVocab.size
+    val vocabSql = DocVocab.map(w => s"'$w'").mkString("array(", ", ", ")")
+    spark.range(nDocs).toDF("doc_id")
+      .withColumn("src",
+        when(col("doc_id") < nDocs / 100L, col("doc_id") + lit(nDocs / 2L))
+          .otherwise(col("doc_id")))
+      .withColumn("len",
+        pmod(xxhash64(lit(seed), col("src")), lit(2L * medianLen - 10L)) + 10L)
+      .withColumn("text", expr(
+        s"concat_ws(' ', transform(sequence(0, len - 1), " +
+          s"i -> element_at($vocabSql, " +
+          s"cast(pmod(xxhash64(${seed + 1}L, src, i), $v) + 1 as int))))"))
+      .withColumn("lang",
+        element_at(array(lit("en"), lit("es"), lit("de"), lit("fr")),
+          (pmod(xxhash64(lit(seed + 2), col("doc_id")), lit(4L)) + 1L).cast("int")))
+      .withColumn("source",
+        element_at(array(lit("web"), lit("forum"), lit("wiki")),
+          (pmod(xxhash64(lit(seed + 3), col("doc_id")), lit(3L)) + 1L).cast("int")))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+  }
+
   /** Driver-side tiny generator for tests: same shape, seeded RNG. */
   def turnsSeq(
       seed: Long,

@@ -514,6 +514,24 @@ class TextVecSuite extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 6L, 2L, 0.666667), (2L, 3L, 3L, 0.0)))
   }
 
+  test("Gen.documents is deterministic, driver-shaped, with planted duplicates") {
+    val d1 = Gen.documents(spark, 2000L)
+    assert(d1.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    def h(df: org.apache.spark.sql.DataFrame): Long = df
+      .agg(expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))"))
+      .head.getLong(0)
+    assert(h(Gen.documents(spark, 2000L)) == h(d1))
+    // the 1% copy band produces exact-dup groups (donors live in the second
+    // half, so donor/copy pairs can straddle any id-bucket split)
+    val dupGroups = TextOps.exactDedup(d1).where(col("group_size") > 1)
+      .select("fp").distinct().count()
+    assert(dupGroups >= 15, s"expected ~20 planted dup groups, got $dupGroups")
+    // token lengths stay in the driver corpus's 10–100 band
+    val toks = d1.select(size(split(col("text"), " ")).as("n"))
+      .agg(min("n"), max("n")).head
+    assert(toks.getInt(0) >= 10 && toks.getInt(1) <= 100)
+  }
+
   test("CacheScope releases operator-persisted intermediates") {
     // earlier tests in this shared session persist via unmanaged scopes —
     // start from a clean cache so isEmpty is meaningful
