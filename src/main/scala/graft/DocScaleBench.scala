@@ -30,6 +30,10 @@ object DocScaleBench {
       .master(s"local[$cpus]")
       .appName("tjk-docscalebench")
       .config("spark.sql.shuffle.partitions", parts)
+      // the generated corpus is a handful of parquet files; default 128 MB
+      // splits would cap scan parallelism at ~4 tasks for the CPU-heavy
+      // text projections — split finer so the scan feeds every core
+      .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir",
@@ -49,11 +53,14 @@ object DocScaleBench {
     def run(label: String): Double = {
       val t0 = System.nanoTime()
       queries.foreach { q =>
+        val q0 = System.nanoTime()
         // noop sink, not count(): count() would let Catalyst prune the
         // per-row projections under test (the Bench timing-v2 rule)
         SparkEntry.queries(q)(spark, dataDir)
           .write.format("noop").mode("overwrite").save()
         spark.sharedState.cacheManager.clearCache()
+        System.err.println(
+          f"[docscalebench]   $label $q ${(System.nanoTime() - q0) / 1e9}%.1f s")
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[docscalebench] $label: 5 queries in $sec%.1f s")

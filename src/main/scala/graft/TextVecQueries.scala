@@ -265,8 +265,14 @@ object TextVecQueries {
   /** q55: benchmark decontamination — flag training documents sharing any
     * word 8-gram with the held-out probe set (the standard n-gram-overlap
     * contamination check run before training). Both gram streams reuse the
-    * q18/q19 shingle machinery; the join key is md5(gram) (16 bytes), so
-    * the shuffle exchanges fixed-width hashes, never 8-word strings.
+    * q18/q19 shingle machinery; the join key is a 60-bit BIGINT slice of
+    * md5(gram) — an 8-byte fixed-width fingerprint, not an 8-word string
+    * and not the 32-char md5 hex: the ~190M-row gram exchange of a 4M-doc
+    * corpus moves ~5× fewer key bytes and sorts longs instead of strings.
+    * 60 bits keeps the fingerprint DuckDB-replicable
+    * (`CAST('0x'||hex AS BIGINT)`); at ~10⁹ distinct grams the birthday
+    * collision odds are ~0.05% — and a collision only ever ADDS a
+    * candidate hit, the conservative direction for decontamination.
     *
     * Scale shape: TWO corpus scans by design — the exploded gram stream is
     * ~k× the corpus, so persisting it to "save" a scan would cache far
@@ -278,10 +284,12 @@ object TextVecQueries {
   def decontam(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).where(col("text").isNotNull)
     val bucket = Split.entityBucket(col("doc_id").cast("string"))
+    def gh(g: Column): Column =
+      conv(substring(md5(g), 1, 15), 16, 10).cast("long")
     val probes = TextOps.shingles(d.where(bucket < DecontamProbeCut), DecontamGram)
-      .select(md5(col("g")).as("gh")).distinct()
+      .select(gh(col("g")).as("gh")).distinct()
     val train = TextOps.shingles(d.where(bucket >= DecontamProbeCut), DecontamGram)
-      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .select(col("doc_id"), gh(col("g")).as("gh"))
     // shingles() emits DISTINCT grams per doc and probes are distinct, so
     // the join multiplicity per (doc, gram) is 1: count(*) IS the distinct
     // shared-gram count, with no count-distinct shuffle
@@ -299,7 +307,8 @@ object TextVecQueries {
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
        |  $bucket AS bucket
        |  FROM documents WHERE text IS NOT NULL),
-       |g AS (SELECT DISTINCT doc_id, bucket, md5($gram) AS gh
+       |g AS (SELECT DISTINCT doc_id, bucket,
+       |        CAST(concat('0x', substring(md5($gram), 1, 15)) AS BIGINT) AS gh
        |      FROM w, UNNEST(generate_series(1, len(ws) - ${DecontamGram - 1})) AS i(x)
        |      WHERE len(ws) >= $DecontamGram),
        |probe AS (SELECT DISTINCT gh FROM g WHERE bucket < $DecontamProbeCut)

@@ -190,9 +190,11 @@ class PlanShapeSuite extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
-  test("q56 repetition is map-only: scan → project → output sort, no shuffle") {
+  test("q56 repetition is map-only: scan → project → output sort, no key shuffle") {
     // the duplicate-n-gram signal is a per-row expression over the token
-    // array — an explode+groupBy formulation would shuffle ~k× the corpus
+    // array — an explode+groupBy formulation would shuffle ~k× the corpus.
+    // (spread()'s small-input round-robin is not a KEY shuffle and is not
+    // counted by exchanges(); on well-split inputs it disappears entirely)
     val q56 = TextVecQueries.repetition(spark, "/root/testdata/sf0.001")
     val plan = q56.queryExecution.executedPlan.toString
     assert(exchanges(q56) == 1, plan.take(2000)) // only the dump's ORDER BY
