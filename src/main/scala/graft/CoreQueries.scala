@@ -212,7 +212,16 @@ object CoreQueries {
   private[graft] def purchases(spark: SparkSession, dir: String): DataFrame =
     Tables.read(spark, dir, "events")
       .where(col("event_type") === "purchase")
-      .groupBy(col("user_id").cast("string").as("conv_id"), col("ts").as("ev_ts"))
+      .select(col("user_id").cast("string").as("conv_id"),
+        col("ts").as("ev_ts"), col("value"), col("event_id"))
+      // partition by conv_id BEFORE the (conv_id, ev_ts) dedup: the groupBy
+      // reuses this exchange (hash(conv_id) clusters every (conv_id, ev_ts)
+      // group), and every consumer joining/windowing on conv_id — q29's
+      // session join in particular — reuses it too instead of adding its
+      // own hash(conv_id) exchange after a hash(conv_id, ev_ts) one
+      // (guide §2.4; net exchange count unchanged for the as-of consumers)
+      .repartition(col("conv_id"))
+      .groupBy(col("conv_id"), col("ev_ts"))
       .agg(max_by(col("value"), col("event_id")).as("pv"))
 
   private[graft] val purchasesSqlCte: String =

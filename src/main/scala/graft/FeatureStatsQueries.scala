@@ -150,14 +150,16 @@ object FeatureStatsQueries {
     val split = Split.timeSplit(Tables.transcripts(spark, dir), "ts", Boundary)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val train = split.where(col("split") === "train")
-      val test = split.where(col("split") === "test")
+      // single-pass tagged KS/PSI (FeatureStats.ksTagged/psiTagged): one
+      // grouped count over the persisted split instead of a per-side count
+      // + re-merge join per statistic — values identical, half the shuffles
+      val isTrain = col("split") === "train"
       val report = FeatureStats
         .iv(split, "value", col("role") === "purchase", BinW, NBins)
         .select(lit("iv_value").as("metric"), col("iv").as("stat"))
-        .unionByName(FeatureStats.ks(train, test, "value")
+        .unionByName(FeatureStats.ksTagged(split, "value", isTrain)
           .select(lit("ks_value").as("metric"), col("ks").as("stat")))
-        .unionByName(FeatureStats.psi(train, test, "value", BinW, NBins)
+        .unionByName(FeatureStats.psiTagged(split, "value", isTrain, BinW, NBins)
           .select(lit("psi_value").as("metric"), col("psi").as("stat")))
         .orderBy("metric")
       localized(spark, report).orderBy("metric")
@@ -252,11 +254,11 @@ object FeatureStatsQueries {
     val split = Split.timeSplit(joined, "ts", Boundary)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val train = split.where(col("split") === "train")
-      val test = split.where(col("split") === "test")
-      val report = FeatureStats.ks(train, test, "pv")
+      // single-pass tagged KS/PSI — same rationale as driftReport
+      val isTrain = col("split") === "train"
+      val report = FeatureStats.ksTagged(split, "pv", isTrain)
         .select(lit("ks_asof_pv").as("metric"), col("ks").as("stat"))
-        .unionByName(FeatureStats.psi(train, test, "pv", BinW, NBins)
+        .unionByName(FeatureStats.psiTagged(split, "pv", isTrain, BinW, NBins)
           .select(lit("psi_asof_pv").as("metric"), col("psi").as("stat")))
         .orderBy("metric")
       localized(spark, report).orderBy("metric")

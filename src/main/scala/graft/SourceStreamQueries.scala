@@ -328,10 +328,17 @@ object SourceStreamQueries {
       // Driver parquet timestamps are NTZ → the NTZ format option is the
       // one that must carry µs; set both so the query is storage-agnostic.
       val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      // ONE output file per format: the eighth-subset is ~1/8 of the events
+      // table, which 32 shuffle partitions would spray into 32 tiny files
+      // per format — 64 file opens on write and again on read, pure
+      // small-file overhead (guide §6) for a round-trip whose row set is
+      // unchanged by layout. The multiLine CSV read is single-task either
+      // way.
+      val one = view.coalesce(1)
       def opts[T](w: org.apache.spark.sql.DataFrameWriter[T]) =
         w.option("timestampFormat", fmt).option("timestampNTZFormat", fmt)
-      opts(view.write).option("header", "true").mode("overwrite").csv(s"$tmp/csv")
-      opts(view.write).mode("overwrite").json(s"$tmp/json")
+      opts(one.write).option("header", "true").mode("overwrite").csv(s"$tmp/csv")
+      opts(one.write).mode("overwrite").json(s"$tmp/json")
 
       // multiLine: a text value containing an embedded newline is WRITTEN
       // quoted across lines; without it the reader treats each physical
@@ -351,9 +358,19 @@ object SourceStreamQueries {
         Sessionize.sessionAgg(src, "conv_id", "ts", "turn_idx",
           Duration.ofMinutes(30))
       val a = agg(fromCsv)
-      val fpA = Lineage.tableFingerprint(a)
-      val fpB = Lineage.tableFingerprint(agg(fromJson))
-      require(fpA == fpB, s"CSV vs JSON round-trip diverged: $fpA vs $fpB")
+      // ONE job for both fingerprints (they are independent subtrees, so a
+      // union evaluates them in the same action) instead of two sequential
+      // collect jobs — same (row_count, xor-hash) compare, half the driver
+      // round-trips.
+      def fpDf(src: DataFrame, tag: String): DataFrame =
+        src.agg(count(lit(1)).as("rc"),
+          bit_xor(xxhash64(src.columns.map(col): _*)).as("ch"))
+          .select(lit(tag).as("src"), col("rc"), col("ch"))
+      val fps = fpDf(a, "csv").unionByName(fpDf(agg(fromJson), "json"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
+      require(fps("csv") == fps("json"),
+        s"CSV vs JSON round-trip diverged: ${fps("csv")} vs ${fps("json")}")
 
       a.orderBy("conv_id", "session_id").collect().toSeq
         .map(r => (r.getString(0), r.getString(1),

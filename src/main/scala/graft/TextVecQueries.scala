@@ -575,7 +575,12 @@ object TextVecQueries {
     * are excluded like q50 (nothing to encode).
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val d = asciiGuarded(docs(spark, dir)).where(col("text").isNotNull)
+    // spread: the law byte-walk + stub decode are per-row compute over a
+    // source that often arrives as ONE parquet split — without it the whole
+    // extraction stage runs on a single task (TextOps.spread passes
+    // well-split inputs through untouched)
+    val d = asciiGuarded(TextOps.spread(docs(spark, dir)))
+      .where(col("text").isNotNull)
     lawGuards(MediaOps.extractFeaturesKeeping(
       MediaOps.syntheticMedia(lawAnnotated(d), keep = LawCols)))
   }
@@ -682,6 +687,10 @@ object TextVecQueries {
           "q35_media_stats oracle requires an ASCII corpus (byte stats == char stats)"))))
 
   def mediaStats(spark: SparkSession, dir: String): DataFrame = {
+    // no spread here: the stub decode is cheap byte statistics — measured,
+    // the repartition exchange cost more than the single-task compute it
+    // parallelized (unlike mediaFeatures' law byte-walk and mediaDecode's
+    // real codecs, which keep it)
     val d = asciiGuarded(docs(spark, dir))
     MediaOps.extractFeatures(MediaOps.syntheticMedia(d))
       .toDF()
@@ -706,9 +715,13 @@ object TextVecQueries {
     // `text IS NOT NULL`). Without the filter the engine NPEs in pngGray
     // while the oracle emits a nulls row — a crash on one side and a silent
     // divergence on the other for the same doc.
+    // spread: PNG ENCODE alone is ~0.5 ms/doc of real DEFLATE work — on a
+    // one-split corpus the encode+decode pipeline was measured running on a
+    // single task while 31 cores idled
     MediaOps.decodeAvFeatures(
         MediaOps.syntheticAvMedia(
-          asciiGuarded(docs(spark, dir)).where(col("text").isNotNull)))
+          asciiGuarded(TextOps.spread(docs(spark, dir)))
+            .where(col("text").isNotNull)))
       .toDF()
       .select(col("doc_id"), col("img_w"), col("img_h"),
         round(col("img_mean"), 6).as("img_mean"),

@@ -135,18 +135,42 @@ object FeatureStats {
       .agg(count(lit(1)).as(s"n_$side"))
     val bins = a.sparkSession.range(nBins.toLong)
       .select(col("id").cast("int").as("bin"))
-    val joined = bins
-      .join(binned(a, "a"), Seq("bin"), "left")
-      .join(binned(b, "b"), Seq("bin"), "left")
-      .na.fill(0L, Seq("n_a", "n_b"))
+    psiFromJoined(
+      bins
+        .join(binned(a, "a"), Seq("bin"), "left")
+        .join(binned(b, "b"), Seq("bin"), "left")
+        .na.fill(0L, Seq("n_a", "n_b")),
+      nBins, eps)
+  }
+
+  /** Single-pass [[psi]] over one tagged frame — same rationale and value
+    * identity as [[ksTagged]]: one binned count shuffle, one bins join.
+    */
+  private[graft] def psiTagged(
+      df: DataFrame, valueCol: String, isA: Column,
+      binWidth: Double, nBins: Int, eps: Double = 0.5): DataFrame = {
+    val binned = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(widthBin(col(valueCol), binWidth, nBins).as("bin"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(isA, 0L).otherwise(1L)).as("n_b"))
+    val bins = df.sparkSession.range(nBins.toLong)
+      .select(col("id").cast("int").as("bin"))
+    psiFromJoined(
+      bins.join(binned, Seq("bin"), "left").na.fill(0L, Seq("n_a", "n_b")),
+      nBins, eps)
+  }
+
+  private def psiFromJoined(
+      joined: DataFrame, nBins: Int, eps: Double): DataFrame =
+    joined
       .withColumn("ta", sum(col("n_a")).over(Window.partitionBy()))
       .withColumn("tb", sum(col("n_b")).over(Window.partitionBy()))
       .select(((col("n_b") + eps) / (col("tb") + eps * nBins) -
           (col("n_a") + eps) / (col("ta") + eps * nBins)).as("dp"),
         log(((col("n_b") + eps) / (col("tb") + eps * nBins)) /
           ((col("n_a") + eps) / (col("ta") + eps * nBins))).as("lr"))
-    joined.agg(round(sum(col("dp") * col("lr")), 6).as("psi"))
-  }
+      .agg(round(sum(col("dp") * col("lr")), 6).as("psi"))
 
   /** Exact two-sample Kolmogorov–Smirnov statistic over a bounded-domain
     * numeric column: max over observed values of |F_a − F_b|. Grouped
@@ -160,13 +184,39 @@ object FeatureStats {
       .where(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as(s"n_$side"))
-    // EAGER from here: persist the per-value aggregate, count it (the
-    // cardinality guard — same grouped shuffle the window pass needs, run
-    // once), and collect the 1-row result so the persist can be released
-    // before returning. Values are unchanged; an unbounded continuous
-    // feature now fails loudly instead of stalling the single-task sort.
-    val merged = counts(a, "a").join(counts(b, "b"), Seq("v"), "full")
-      .na.fill(0L, Seq("n_a", "n_b"))
+    ksFromMerged(
+      counts(a, "a").join(counts(b, "b"), Seq("v"), "full")
+        .na.fill(0L, Seq("n_a", "n_b")),
+      valueCol, maxDomain)
+  }
+
+  /** Single-pass [[ks]] over ONE frame whose rows are split by a boolean
+    * tag: both sides' per-value counts come from a single grouped
+    * aggregation (guide §2.3 "aggregate before you shuffle") instead of two
+    * grouped shuffles re-merged by a full join. Values identical: the full
+    * join + zero-fill of the pair form IS the conditional-count pair of
+    * this form for every value present on either side.
+    */
+  private[graft] def ksTagged(
+      df: DataFrame, valueCol: String, isA: Column,
+      maxDomain: Long = MaxExactDomain): DataFrame =
+    ksFromMerged(
+      df.where(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("double").as("v"))
+        .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(isA, 0L).otherwise(1L)).as("n_b")),
+      valueCol, maxDomain)
+
+  /** The shared KS tail over a (v, n_a, n_b) per-value frame. EAGER: persist
+    * the per-value aggregate, count it (the cardinality guard — same grouped
+    * shuffle the window pass needs, run once), and collect the 1-row result
+    * so the persist can be released before returning. An unbounded
+    * continuous feature fails loudly instead of stalling the single-task
+    * sort.
+    */
+  private def ksFromMerged(
+      mergedIn: DataFrame, valueCol: String, maxDomain: Long): DataFrame = {
+    val merged = mergedIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       requireBoundedDomain(merged.count(), maxDomain, "ks", valueCol)

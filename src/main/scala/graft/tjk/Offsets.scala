@@ -28,10 +28,12 @@ object Offsets {
         "(a negative lag is a future-looking lead — use Offsets.leads, " +
         "whose output carries the __leaky_ prefix)")
     }
+    // one select for the whole spec family (shared Window node/sort — see
+    // Rolling.windowRolling's rationale)
     val w = Window.partitionBy(col(entity)).orderBy(order.map(col): _*)
-    specs.foldLeft(df) { case (d, (c, n)) =>
-      d.withColumn(s"lag_${c}_$n", lag(col(c), n).over(w))
-    }
+    df.select(df.columns.map(col) ++ specs.map { case (c, n) =>
+      lag(col(c), n).over(w).as(s"lag_${c}_$n")
+    }: _*)
   }
 
   def leads(
@@ -45,9 +47,9 @@ object Offsets {
         "not mislabeled __leaky_)")
     }
     val w = Window.partitionBy(col(entity)).orderBy(order.map(col): _*)
-    specs.foldLeft(df) { case (d, (c, n)) =>
-      d.withColumn(s"__leaky_lead_${c}_$n", lead(col(c), n).over(w))
-    }
+    df.select(df.columns.map(col) ++ specs.map { case (c, n) =>
+      lead(col(c), n).over(w).as(s"__leaky_lead_${c}_$n")
+    }: _*)
   }
 
   /** Forward-fill: carry the last non-null value forward (never backward —
@@ -60,8 +62,8 @@ object Offsets {
       cols: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col(entity)).orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0L)
-    cols.foldLeft(df) { (d, c) =>
-      d.withColumn(s"ffill_$c", last(col(c), ignoreNulls = true).over(w))
-    }
+    df.select(df.columns.map(col) ++ cols.map { c =>
+      last(col(c), ignoreNulls = true).over(w).as(s"ffill_$c")
+    }: _*)
   }
 }

@@ -138,12 +138,21 @@ object Rolling {
       entity: String,
       tsCol: String,
       specs: Seq[RollingSpec]): DataFrame = {
+    // ONE select for all specs, not a withColumn fold: the fold gave every
+    // spec its own extracted `_wN = unix_micros(ts)` order attribute, so
+    // Catalyst planned one Window + Sort PER SPEC (the sorts could not be
+    // proven redundant across different attributes — 7 Window/Sort layers
+    // for q01). A single projection shares one order attribute: all frames
+    // land in ONE Window node over ONE sort (guide §2.4 "window functions
+    // partitioned by the same key do not need a second shuffle"; plan
+    // evidence plans/r06/q01_rolling_time_{before,after}.txt).
     val base = Window.partitionBy(col(entity)).orderBy(tsMicros(col(tsCol)))
-    specs.foldLeft(df) { (d, s) =>
+    val outCols = specs.map { s =>
       val upper = if (s.strict) -1L else 0L
       val frame = base.rangeBetween(-s.windowMicros, upper)
-      d.withColumn(s.outName, aggColumn(df.sparkSession, s.agg, s.col, frame))
+      aggColumn(df.sparkSession, s.agg, s.col, frame).as(s.outName)
     }
+    df.select(df.columns.map(col) ++ outCols: _*)
   }
 
   /** Session-scoped detection-result cache (SURVEY.md §4.2 "reuse, don't
@@ -370,12 +379,15 @@ object Rolling {
       tsCol: String,
       tieCol: String,
       specs: Seq[RowsSpec]): DataFrame = {
+    // single select, same rationale as windowRolling: one Window node + one
+    // sort for the whole spec family instead of one layer per spec
     val base =
       Window.partitionBy(col(entity)).orderBy(col(tsCol), col(tieCol))
-    specs.foldLeft(df) { (d, s) =>
+    val outCols = specs.map { s =>
       val frame = base.rowsBetween(-s.rowsBack.toLong, 0L)
-      d.withColumn(s.outName, aggColumn(df.sparkSession, s.agg, s.col, frame))
+      aggColumn(df.sparkSession, s.agg, s.col, frame).as(s.outName)
     }
+    df.select(df.columns.map(col) ++ outCols: _*)
   }
 
   /** Approximate windowed nunique — the bounded-memory FAST path for O3:

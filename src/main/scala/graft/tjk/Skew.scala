@@ -117,17 +117,29 @@ object Skew {
     // while their context test says "not near a boundary", silently losing
     // frame rows. (__tm − pmod) is an exact span multiple, so its `div` IS
     // the floor quotient, in pure integer arithmetic.
+    //
+    // ONE pass, not an owners/context UNION: the union form evaluated the
+    // input subtree TWICE (for transcripts-shaped inputs that is a second
+    // scan + exchange + row_number window per call — guide §2.4). Here each
+    // row conditionally fans out to its owner chunk plus (when within maxW
+    // of its chunk's end) a context copy for the next chunk, via one
+    // explode over the same scan. A null-ts row emits only its owner copy
+    // with a null chunk (the when() condition is null ⇒ otherwise branch),
+    // exactly as the union form's where() dropped it from the context side.
     val base = df
       .withColumn("__tm", tm)
-      .withColumn("__chunk",
+      .withColumn("__c0",
         expr(s"(__tm - pmod(__tm, ${chunkSpanMicros}L)) div ${chunkSpanMicros}L"))
-    val owners = base.withColumn("__owner", lit(true))
-    // A row within maxW of its chunk's end is context for the next chunk.
-    val context = base
-      .where(pmod(col("__tm"), lit(chunkSpanMicros)) >= chunkSpanMicros - maxW)
-      .withColumn("__chunk", col("__chunk") + 1L)
-      .withColumn("__owner", lit(false))
-    val unioned = owners.unionByName(context)
+      .select(col("*"), explode(
+        when(pmod(col("__tm"), lit(chunkSpanMicros)) >= chunkSpanMicros - maxW,
+          array(struct(col("__c0").as("c"), lit(true).as("o")),
+            struct((col("__c0") + 1L).as("c"), lit(false).as("o"))))
+          .otherwise(array(struct(col("__c0").as("c"), lit(true).as("o")))))
+        .as("__cx"))
+      .withColumn("__chunk", col("__cx.c"))
+      .withColumn("__owner", col("__cx.o"))
+      .drop("__c0", "__cx")
+    val unioned = base
     val parts = numPartitions.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val sorted = unioned

@@ -21,17 +21,29 @@ object Tables {
     * are carried along as the numeric feature column / tie-breaker.
     */
   def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
+    // The row_number window partitions by the CASTED conv_id, not user_id:
+    // the cast is injective, so the groups (and turn_idx values) are
+    // identical either way, but every downstream operator windows/groups by
+    // conv_id — partitioning this exchange the same way lets Catalyst reuse
+    // it (EnsureRequirements sees hashpartitioning(conv_id) already
+    // satisfied), removing one full-table Exchange from every consumer
+    // (guide §2.4 "two operations keyed the same way share one exchange";
+    // plan evidence in plans/r06/q01_rolling_time_{before,after}.txt).
     val ev = read(spark, sfDir, "events")
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .select(
+        col("user_id").cast("string").as("conv_id"),
+        col("event_type").as("role"),
+        col("props").as("text"),
+        when(col("event_type").isin("purchase", "signup"), col("event_type")).as("tool"),
+        col("ts"),
+        col("value"),
+        col("event_id"))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("event_id"))
     ev.select(
-      col("user_id").cast("string").as("conv_id"),
+      col("conv_id"),
       (row_number().over(w) - 1).as("turn_idx"),
-      col("event_type").as("role"),
-      col("props").as("text"),
-      when(col("event_type").isin("purchase", "signup"), col("event_type")).as("tool"),
-      col("ts"),
-      col("value"),
-      col("event_id"))
+      col("role"), col("text"), col("tool"),
+      col("ts"), col("value"), col("event_id"))
   }
 
   /** The identical view in DuckDB SQL — prefix for every oracle query. */

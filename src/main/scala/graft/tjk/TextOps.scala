@@ -51,7 +51,7 @@ object TextOps {
     * time just to read a partition count. Large inputs (≥ ~32 MB/core, i.e.
     * anything that already splits well) pass through untouched — no shuffle.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     // Threshold = cores × maxPartitionBytes: below it, the file scan yields
@@ -95,6 +95,10 @@ object TextOps {
     * md5 content fingerprint.
     */
   def textStats(docs: DataFrame): DataFrame = {
+    // no spread here (unlike the shingle fan-outs): scoring is ~10 codegen'd
+    // expressions per doc with no row multiplication — measured, the
+    // repartition cost exceeded the parallelism it bought on small corpora,
+    // and well-split large inputs never needed it
     val scored = withTokens(docs)
       .withColumn("n_tokens", size(col("ws")).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
@@ -310,21 +314,28 @@ object TextOps {
     * bottleneck. Values are unchanged: `md5(j || ':' || g)` per (j, shingle),
     * `min` per (doc, j), assembled in j order.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = Shingle): DataFrame =
+  def minhashSignatures(docs: DataFrame, k: Int = Shingle): DataFrame = {
+    // the "<j>:" md5 prefixes are 32 constants — precompute them into the
+    // exploded literal (one struct per hash index) so the rows×MinHashK hot
+    // path pays one concat of two strings per row instead of an int→string
+    // cast plus a three-arg concat; md5(concat("0:", g)) ≡ md5(concat("0",
+    // ":", g)) byte-for-byte, so the oracle parity is untouched
+    val jp = array((0 until MinHashK).map(j =>
+      struct(lit(j).as("j"), lit(s"$j:").as("p"))): _*)
     shingles(docs, k)
       // plain explode + md5, NOT a transform(...) lambda: higher-order
       // functions evaluate interpreted (no codegen) — on the hot
       // rows×MinHashK path that was 5× slower than the wide form it replaced
-      .select(col("doc_id"), col("g"),
-        explode(expr(s"sequence(0, ${MinHashK - 1})")).as("j"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("g"))).as("h"))
+      .select(col("doc_id"), col("g"), explode(jp).as("jp"))
+      .select(col("doc_id"), col("jp.j").as("j"),
+        md5(concat(col("jp.p"), col("g"))).as("h"))
       .groupBy("doc_id", "j")
       .agg(min(col("h")).as("mh"))
       .groupBy("doc_id")
       // 1 row per doc from here on — interpreted HOF assembly is fine
       .agg(expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")
         .as("sig"))
+  }
 
   /** MinHash LSH band rows (doc_id, band, h) from a signature column: band
     * hash = md5 over the band's signature slice, '|'-joined (array form of
@@ -393,12 +404,20 @@ object TextOps {
           .select(col(idCol), col("h"), explode(expr("sequence(0, 63)")).as("i"))
           .withColumn("bit", expr("(h >> i) & 1"))
       case TokenHash.Md5Hex =>
-        // bit i of the 64-bit value spelled by md5's FIRST 16 hex chars:
-        // hex digit at 1-based position 16 - i/4, bit (i % 4) of the digit.
+        // The 64-bit value spelled by md5's FIRST 16 hex chars (big-endian:
+        // digit at 1-based position p carries weight 16^(16−p)), assembled
+        // ONCE per token from two 8-hex-char halves — shiftleft wraps to the
+        // two's-complement bit pattern with no ANSI overflow. Bit extraction
+        // then costs one shift+mask per (token, bit) row, identical to the
+        // Xx64 path, instead of a substring+conv per row: same bits (bit i =
+        // digit 16 − i/4, bit i%4 — exactly (h >> i) & 1), ~3× less work on
+        // the tokens×64 hot path (the q20 dominant stage).
         tokens.withColumn("hx", substring(md5(col("w")), 1, 16))
-          .select(col(idCol), col("hx"), explode(expr("sequence(0, 63)")).as("i"))
-          .withColumn("bit", expr(
-            "(CAST(conv(substring(hx, 16 - (i div 4), 1), 16, 10) AS INT) >> (i % 4)) & 1"))
+          .withColumn("h", expr(
+            "shiftleft(CAST(conv(substring(hx, 1, 8), 16, 10) AS BIGINT), 32)" +
+              " | CAST(conv(substring(hx, 9, 8), 16, 10) AS BIGINT)"))
+          .select(col(idCol), col("h"), explode(expr("sequence(0, 63)")).as("i"))
+          .withColumn("bit", expr("(h >> i) & 1"))
     }
     perBit
       .groupBy(idCol, "i")

@@ -202,29 +202,38 @@ class PlanShapeSuite extends SparkTestBase {
     assert("FileScan|BatchScan".r.findAllIn(plan).length == 1, plan.take(2000))
   }
 
-  /** Physical Window nodes in the plan that materializes ALL output columns
-    * — exactly what Bench's noop sink executes.
+  /** Physical window EXPRESSIONS in the plan that materializes ALL output
+    * columns — exactly what Bench's noop sink executes. Counted as
+    * windowspecdefinition occurrences, not Window NODES: since r6 all specs
+    * sharing one (partition, order) land in a single Window node (one sort
+    * for the whole family instead of one per spec), so the node count is a
+    * plan-efficiency artifact while the expression count is the
+    * nothing-was-pruned invariant this pin exists for.
     */
-  private def windowNodes(df: org.apache.spark.sql.DataFrame): Int =
-    "Window \\[".r.findAllIn(df.queryExecution.executedPlan.toString).length
+  private def windowExprs(df: org.apache.spark.sql.DataFrame): Int =
+    "windowspecdefinition".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
 
   test("benched plans keep their Window nodes (timing-v1 pruning bug class)") {
     // Bench timed queries through .count() from r1 until r4: count()
     // references no columns, so Catalyst pruned every Window whose output
     // nothing consumed and the pure-projection queries were timed as bare
     // scans. This pins BOTH halves of the fix: (a) the full-width plan —
-    // what the noop sink materializes — carries the expected Window count;
+    // what the noop sink materializes — carries every window expression
+    // (q01: transcripts row_number + 6 rolling specs; q05: row_number +
+    // 2 lags + 1 ffill; q09: row_number + the session lag — extracted once
+    // per branch of the new-session when() — + running sum);
     // (b) a count() sink still prunes them to zero, so if anyone swaps the
     // sink back, (a) is the invariant that catches the regression.
     val expected = Seq(
       "q01_rolling_time" -> 7,
-      "q05_lag_ffill" -> 3,
-      "q09_sessionize" -> 3)
+      "q05_lag_ffill" -> 4,
+      "q09_sessionize" -> 4)
     for ((name, n) <- expected) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
-      assert(windowNodes(df) == n,
-        s"$name full-width plan lost Window nodes (expected $n)")
-      assert(windowNodes(df.groupBy().count()) == 0,
+      assert(windowExprs(df) == n,
+        s"$name full-width plan lost window expressions (expected $n)")
+      assert(windowExprs(df.groupBy().count()) == 0,
         s"$name: count() no longer prunes — update this pin's rationale")
     }
   }
