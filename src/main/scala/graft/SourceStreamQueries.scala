@@ -39,9 +39,19 @@ object SourceStreamQueries {
     import spark.implicits._
     val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
     val stage = new java.io.File(tmp, "stage")
+    // The time-span/row-count metrics ride the staging WRITE via observe()
+    // (CollectMetrics): one job computes and stages the feed AND yields
+    // min/max ts + fed-row count, instead of a second read-back aggregation
+    // job over the staged files. Every feed row lands in exactly one slice
+    // file, so feed-side metrics equal the old staged-side metrics.
+    val obs = new org.apache.spark.sql.Observation("replay_mm")
     feed
       .withColumn("__slice",
         pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(slices)))
+      .observe(obs,
+        min(unix_micros(col("ts"))).as("mn"),
+        max(unix_micros(col("ts"))).as("mx"),
+        count(lit(1)).as("n"))
       .repartition(1)
       .write.partitionBy("__slice").mode("overwrite").parquet(stage.getPath)
     val slicePaths = (0 until slices).flatMap { s =>
@@ -58,16 +68,12 @@ object SourceStreamQueries {
     }
     require(slicePaths.nonEmpty, "replay: the feed selected no rows")
     val staged = spark.read.parquet(slicePaths: _*)
-    // one job for span AND row count (the fed-row accounting every law
-    // query needs) — not two passes over the staged files
-    val mm = staged
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
-        count(lit(1)))
-      .collect()(0)
-    require(!mm.isNullAt(0) && !mm.isNullAt(1),
+    val mm = obs.get
+    require(mm("mn") != null && mm("mx") != null,
       "replay: feed has no non-null timestamps")
-    val (minTs, maxTs) = (mm.getLong(0), mm.getLong(1))
-    val fedRows = mm.getLong(2)
+    val (minTs, maxTs) =
+      (mm("mn").asInstanceOf[Long], mm("mx").asInstanceOf[Long])
+    val fedRows = mm("n").asInstanceOf[Long]
     val delaySec = (maxTs - minTs) / 1000000L + 1L + 60L
     // THREE sentinels, not two: with maxFilesPerTrigger=2 the batch cut
     // points depend on the (data-dependent) slice-file count's parity, and
@@ -357,7 +363,11 @@ object SourceStreamQueries {
       def agg(src: DataFrame): DataFrame =
         Sessionize.sessionAgg(src, "conv_id", "ts", "turn_idx",
           Duration.ofMinutes(30))
+      // the CSV-side aggregate is consumed twice (fingerprint compare AND
+      // the returned rows) — persist it so the text re-read + sessionize
+      // runs once; released in the outer finally via unpersist below
       val a = agg(fromCsv)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ONE job for both fingerprints (they are independent subtrees, so a
       // union evaluates them in the same action) instead of two sequential
       // collect jobs — same (row_count, xor-hash) compare, half the driver
@@ -372,12 +382,14 @@ object SourceStreamQueries {
       require(fps("csv") == fps("json"),
         s"CSV vs JSON round-trip diverged: ${fps("csv")} vs ${fps("json")}")
 
-      a.orderBy("conv_id", "session_id").collect().toSeq
-        .map(r => (r.getString(0), r.getString(1),
-          r.getAs[java.time.LocalDateTime](2), r.getAs[java.time.LocalDateTime](3),
-          r.getLong(4)))
-        .toDF("conv_id", "session_id", "session_start", "session_end", "n_turns")
-        .orderBy("conv_id", "session_id")
+      try {
+        a.orderBy("conv_id", "session_id").collect().toSeq
+          .map(r => (r.getString(0), r.getString(1),
+            r.getAs[java.time.LocalDateTime](2), r.getAs[java.time.LocalDateTime](3),
+            r.getLong(4)))
+          .toDF("conv_id", "session_id", "session_start", "session_end", "n_turns")
+          .orderBy("conv_id", "session_id")
+      } finally a.unpersist()
     } finally deleteRec(new java.io.File(tmp))
   }
 
