@@ -37,6 +37,15 @@ object BenchExtra {
         val t0 = jobs.getOrDefault(je.jobId, je.time)
         System.err.println(f"[prof]   job ${je.jobId}%4d ${(je.time - t0) / 1e3}%7.2f s")
       }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = (for { a <- si.completionTime; b <- si.submissionTime }
+          yield a - b).getOrElse(-1L)
+        if (dur > 400)
+          System.err.println(f"[prof]     stage ${si.stageId}%4d ${dur / 1e3}%6.2f s " +
+            f"tasks=${si.numTasks}%3d ${si.name.take(70)}")
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
