@@ -660,6 +660,13 @@ object TextVecQueries {
             when(col("law_nbytes") === 0L, 0).otherwise(col("law_nf"))) &&
             (col("law_fh").isNull || col("frame_hashes") === col("law_fh")),
           size(col("frame_hashes"))))
+      // persist before the global sort: a range-partitioned ORDER BY first
+      // SAMPLES its child — fully executing the segment after the last
+      // exchange — then executes it again for the real shuffle. Unpersisted,
+      // the law byte-walk + stub extraction (the expensive part of this
+      // query) would run twice per action. LRU-evictable, released by the
+      // harness's between-query cache clear like every operator persist.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("doc_id")
   }
 
@@ -728,6 +735,10 @@ object TextVecQueries {
         col("n_samples"), col("sample_rate"),
         round(col("dur_ms"), 6).as("dur_ms"),
         round(col("amp_mean"), 6).as("amp_mean"))
+      // persist before the global sort (same rationale as lawGuards): the
+      // ORDER BY's range sampling would otherwise run the REAL PNG/WAV
+      // encode + decode a second time per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("doc_id")
 
   val mediaDecodeSql: String =
