@@ -42,9 +42,15 @@ object BenchExtra {
         val si = sc.stageInfo
         val dur = (for { a <- si.completionTime; b <- si.submissionTime }
           yield a - b).getOrElse(-1L)
-        if (dur > 400)
+        if (dur > 150) {
+          val m = si.taskMetrics
           System.err.println(f"[prof]     stage ${si.stageId}%4d ${dur / 1e3}%6.2f s " +
-            f"tasks=${si.numTasks}%3d ${si.name.take(70)}")
+            f"tasks=${si.numTasks}%3d " +
+            f"in=${m.inputMetrics.recordsRead}%d/${m.inputMetrics.bytesRead / 1024}%dK " +
+            f"sr=${m.shuffleReadMetrics.recordsRead}%d " +
+            f"sw=${m.shuffleWriteMetrics.recordsWritten}%d/${m.shuffleWriteMetrics.bytesWritten / 1024}%dK " +
+            f"cpu=${m.executorCpuTime / 1e9}%.1f ${si.name.take(60)}")
+        }
       }
     }
     spark.sparkContext.addSparkListener(listener)

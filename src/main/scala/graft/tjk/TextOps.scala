@@ -314,28 +314,22 @@ object TextOps {
     * bottleneck. Values are unchanged: `md5(j || ':' || g)` per (j, shingle),
     * `min` per (doc, j), assembled in j order.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = Shingle): DataFrame = {
-    // the "<j>:" md5 prefixes are 32 constants — precompute them into the
-    // exploded literal (one struct per hash index) so the rows×MinHashK hot
-    // path pays one concat of two strings per row instead of an int→string
-    // cast plus a three-arg concat; md5(concat("0:", g)) ≡ md5(concat("0",
-    // ":", g)) byte-for-byte, so the oracle parity is untouched
-    val jp = array((0 until MinHashK).map(j =>
-      struct(lit(j).as("j"), lit(s"$j:").as("p"))): _*)
+  def minhashSignatures(docs: DataFrame, k: Int = Shingle): DataFrame =
+    // ONE typed aggregate per doc ([[expressions.MinHashSig]]) replaces the
+    // explode(MinHashK) + builtin-md5 + two-level groupBy pipeline: element
+    // j of `sig` is byte-for-byte min(md5(concat("<j>:", g))) over the
+    // doc's grams (value-identity argument — raw-digest unsigned min ≡ hex
+    // string min — in the expression's doc), but the grams×MinHashK row
+    // explosion, its 80M hash-agg probes (80 s CPU at bench scale, the most
+    // CPU-expensive stage of the whole catalog), the per-call
+    // MessageDigest.getInstance inside the built-in Md5, and the SECOND
+    // exchange that reassembled per-doc arrays from (doc_id, j) mins are
+    // all gone: one exchange on doc_id, one k×16-byte buffer per doc
+    // through it.
     shingles(docs, k)
-      // plain explode + md5, NOT a transform(...) lambda: higher-order
-      // functions evaluate interpreted (no codegen) — on the hot
-      // rows×MinHashK path that was 5× slower than the wide form it replaced
-      .select(col("doc_id"), col("g"), explode(jp).as("jp"))
-      .select(col("doc_id"), col("jp.j").as("j"),
-        md5(concat(col("jp.p"), col("g"))).as("h"))
-      .groupBy("doc_id", "j")
-      .agg(min(col("h")).as("mh"))
       .groupBy("doc_id")
-      // 1 row per doc from here on — interpreted HOF assembly is fine
-      .agg(expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")
-        .as("sig"))
-  }
+      .agg(expressions.NativeFunctions
+        .minhashSigNative(docs.sparkSession, col("g"), MinHashK).as("sig"))
 
   /** MinHash LSH band rows (doc_id, band, h) from a signature column: band
     * hash = md5 over the band's signature slice, '|'-joined (array form of

@@ -124,8 +124,15 @@ object VectorOps {
     // cache the signatures: the band self-join consumes this subplan twice
     // (x and y sides), and without the cache each side re-scans the corpus
     // and re-evaluates the signature — same branch-point discipline as
-    // minhashLshPairs (LRU-evictable, spills at scale, releasable via scope)
-    val sig = scope.track(vecs.select(col("vec_id"),
+    // minhashLshPairs (LRU-evictable, spills at scale, releasable via scope).
+    // The source runs through TextOps.spread (stats-gated, large inputs pass
+    // untouched): a small corpus arrives as ONE parquet split, so the cached
+    // sig would be ONE partition — and since the band self-join broadcasts
+    // one side, candidate-PAIR GENERATION then streams the other side's
+    // single partition on a single task (measured: 1.2 s on one core,
+    // 1.28M bucket pairs, 31 cores idle). Spreading the signature source
+    // parallelizes the pair-expansion stage without touching its values.
+    val sig = scope.track(TextOps.spread(vecs).select(col("vec_id"),
       expressions.NativeFunctions.hyperplaneSigNative(
         spark, col("embedding"), hyperplanes(nPlanes, dim)).as("bitstr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

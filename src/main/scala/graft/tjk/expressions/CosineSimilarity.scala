@@ -111,6 +111,7 @@ object NativeFunctions {
   val cosineName = "tjk_cosine"
   val hyperplaneSigName = "tjk_hyperplane_sig"
   val windowNUniqueName = "tjk_window_nunique"
+  val minhashSigName = "tjk_minhash_sig"
 
   @volatile private var registeredIn: SparkSession = null
 
@@ -132,6 +133,10 @@ object NativeFunctions {
       windowNUniqueName,
       { exprs: Seq[Expression] => WindowNUnique(exprs(0)) },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      minhashSigName,
+      { exprs: Seq[Expression] => MinHashSig(exprs(0), exprs(1)) },
+      "built-in")
     registeredIn = spark
   }
 
@@ -150,5 +155,15 @@ object NativeFunctions {
     register(spark)
     import org.apache.spark.sql.functions.{call_function => cf, typedlit}
     cf(hyperplaneSigName, e, typedlit(planes))
+  }
+
+  /** Column-API handle for the whole-signature MinHash aggregate:
+    * element j of minhashSigNative($"g", k) over a group ≡
+    * min(md5(concat(s"$j:", $"g"))) over that group's grams.
+    */
+  def minhashSigNative(spark: SparkSession, g: Column, k: Int): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{call_function => cf, lit}
+    cf(minhashSigName, g, lit(k))
   }
 }

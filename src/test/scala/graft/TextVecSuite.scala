@@ -87,6 +87,30 @@ class TextVecSuite extends SparkTestBase {
     }
   }
 
+  test("minhashSignatures (typed agg) ≡ the literal explode + builtin-md5 form") {
+    // The r6 MinHashSig aggregate must reproduce, bit-for-bit, the frozen
+    // oracle formula it replaced: per doc, element j of sig is
+    // min(md5(concat("<j>:", g))) over the doc's distinct k-grams under
+    // Spark's StringType min (UTF8String binary order).
+    val native = TextOps.minhashSignatures(planted).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val jp = array((0 until TextOps.MinHashK).map(j =>
+      struct(lit(j).as("j"), lit(s"$j:").as("p"))): _*)
+    val legacy = TextOps.shingles(planted)
+      .select(col("doc_id"), col("g"), explode(jp).as("jp"))
+      .select(col("doc_id"), col("jp.j").as("j"),
+        md5(concat(col("jp.p"), col("g"))).as("h"))
+      .groupBy("doc_id", "j").agg(min(col("h")).as("mh"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, mh))), x -> x.mh)")
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native.keySet == legacy.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == legacy(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("minhash LSH recalls all planted near-dups and estimates within 0.25 of exact") {
     val exact = TextOps.ngramJaccardPairs(planted, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
