@@ -387,40 +387,33 @@ object TextOps {
       docs: DataFrame,
       idCol: String = "doc_id",
       hash: TokenHash = TokenHash.Xx64): DataFrame = {
-    // Narrow plan (same values as 64 per-bit agg columns, which codegen'd
-    // into a pathologically large class — see minhashSignatures note):
-    // one row per (doc, bit) through the aggregation, then fold the 64
-    // per-bit signs back into the long.
+    // One 64-bit hash per token (the oracle-replicable formula), then ONE
+    // typed aggregate per doc ([[expressions.SimHashAgg]]): the former
+    // explode(sequence(0,63)) pushed tokens×64 rows through a hash
+    // aggregate keyed (doc, i) plus a SECOND exchange to fold the per-bit
+    // sums back into the long — the q20 dominant stage. The aggregate keeps
+    // 64 primitive counters per doc instead (value-identity argument in its
+    // doc; pinned against the literal explode form for both token hashes
+    // in TextVecSuite).
     val tokens = withTokens(spread(docs)).select(col(idCol), explode(col("ws")).as("w"))
-    val perBit = hash match {
+    val withH = hash match {
       case TokenHash.Xx64 =>
         tokens.withColumn("h", xxhash64(col("w")))
-          .select(col(idCol), col("h"), explode(expr("sequence(0, 63)")).as("i"))
-          .withColumn("bit", expr("(h >> i) & 1"))
       case TokenHash.Md5Hex =>
         // The 64-bit value spelled by md5's FIRST 16 hex chars (big-endian:
         // digit at 1-based position p carries weight 16^(16−p)), assembled
         // ONCE per token from two 8-hex-char halves — shiftleft wraps to the
-        // two's-complement bit pattern with no ANSI overflow. Bit extraction
-        // then costs one shift+mask per (token, bit) row, identical to the
-        // Xx64 path, instead of a substring+conv per row: same bits (bit i =
-        // digit 16 − i/4, bit i%4 — exactly (h >> i) & 1), ~3× less work on
-        // the tokens×64 hot path (the q20 dominant stage).
+        // two's-complement bit pattern with no ANSI overflow; bit i of h is
+        // digit 16 − i/4, bit i%4 — exactly (h >> i) & 1, the convention
+        // the DuckDB oracle replicates.
         tokens.withColumn("hx", substring(md5(col("w")), 1, 16))
           .withColumn("h", expr(
             "shiftleft(CAST(conv(substring(hx, 1, 8), 16, 10) AS BIGINT), 32)" +
               " | CAST(conv(substring(hx, 9, 8), 16, 10) AS BIGINT)"))
-          .select(col(idCol), col("h"), explode(expr("sequence(0, 63)")).as("i"))
-          .withColumn("bit", expr("(h >> i) & 1"))
     }
-    perBit
-      .groupBy(idCol, "i")
-      .agg(sum(when(col("bit") === 1L, 1L).otherwise(-1L)).as("b"))
-      .groupBy(idCol)
-      // bits are disjoint powers of two — sum == bitwise-or
-      .agg(sum(when(col("b") > 0L,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L))
-        .as("simhash"))
+    withH.groupBy(idCol)
+      .agg(expressions.NativeFunctions
+        .simhashNative(docs.sparkSession, col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: share one of four 16-bit bands AND Hamming ≤ maxHamming. */

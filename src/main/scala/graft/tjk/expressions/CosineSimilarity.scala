@@ -112,6 +112,7 @@ object NativeFunctions {
   val hyperplaneSigName = "tjk_hyperplane_sig"
   val windowNUniqueName = "tjk_window_nunique"
   val minhashSigName = "tjk_minhash_sig"
+  val simhashName = "tjk_simhash"
 
   @volatile private var registeredIn: SparkSession = null
 
@@ -136,6 +137,10 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       minhashSigName,
       { exprs: Seq[Expression] => MinHashSig(exprs(0), exprs(1)) },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      simhashName,
+      { exprs: Seq[Expression] => SimHashAgg(exprs(0)) },
       "built-in")
     registeredIn = spark
   }
@@ -165,5 +170,14 @@ object NativeFunctions {
     register(spark)
     import org.apache.spark.sql.functions.{call_function => cf, lit}
     cf(minhashSigName, g, lit(k))
+  }
+
+  /** Column-API handle for the SimHash fold aggregate over 64-bit token
+    * hashes: bit i of simhashNative($"h") ≡ (Σ ((h>>i)&1 ? 1 : −1)) > 0.
+    */
+  def simhashNative(spark: SparkSession, h: Column): Column = {
+    register(spark)
+    import org.apache.spark.sql.functions.{call_function => cf}
+    cf(simhashName, h)
   }
 }

@@ -124,6 +124,34 @@ class TextVecSuite extends SparkTestBase {
     }
   }
 
+  test("simhash (typed agg) ≡ the literal explode + per-bit groupBy form, both hashes") {
+    for (h <- Seq(TextOps.TokenHash.Xx64, TextOps.TokenHash.Md5Hex)) {
+      val native = TextOps.simhash(planted, hash = h).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val tokens = planted.withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+      val withH = h match {
+        case TextOps.TokenHash.Xx64 => tokens.withColumn("h", xxhash64(col("w")))
+        case TextOps.TokenHash.Md5Hex =>
+          tokens.withColumn("hx", substring(md5(col("w")), 1, 16))
+            .withColumn("h", expr(
+              "shiftleft(CAST(conv(substring(hx, 1, 8), 16, 10) AS BIGINT), 32)" +
+                " | CAST(conv(substring(hx, 9, 8), 16, 10) AS BIGINT)"))
+      }
+      val legacy = withH
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("i"))
+        .withColumn("bit", expr("(h >> i) & 1"))
+        .groupBy("doc_id", "i")
+        .agg(sum(when(col("bit") === 1L, 1L).otherwise(-1L)).as("b"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("b") > 0L,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))")).otherwise(0L))
+          .as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native == legacy, s"simhash mismatch under $h")
+    }
+  }
+
   test("simhash (both token hashes): planted dups found; signature deterministic") {
     for (h <- Seq(TextOps.TokenHash.Xx64, TextOps.TokenHash.Md5Hex)) {
       val pairs = TextOps.simhashPairs(planted, maxHamming = 6, hash = h).collect()
