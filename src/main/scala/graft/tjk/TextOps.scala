@@ -281,7 +281,11 @@ object TextOps {
         rarePairCounts(sh, hot.limit(0))
           .withColumnRenamed("inter_rare", "inter")
       else {
-        val interRare = rarePairCounts(sh, hot)
+        // interRare feeds BOTH the hot-part probe join and the final
+        // rare+hot merge; unpersisted, the whole rare self-join pipeline
+        // would run twice. Pair-count-sized, LRU-evictable like sh/hot.
+        val interRare = scope.track(rarePairCounts(sh, hot)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val hotSh = sh.join(hot, Seq("g"))
         val interHot = interRare.select("id_a", "id_b")
           .join(hotSh.select(col("doc_id").as("id_a"), col("g")), Seq("id_a"))
@@ -292,7 +296,12 @@ object TextOps {
           .withColumn("inter",
             col("inter_rare") + coalesce(col("inter_hot"), lit(0L)))
       }
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Consumed by BOTH join sides (na and nb): persisted, the count
+    // aggregation walks the gram stream ONCE instead of once per side —
+    // a full pass over the shingle cache removed (measured: two identical
+    // 0.7 s / 4.5 s-CPU stages at bench scale). Doc-count-sized.
+    val cnt = scope.track(sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     inter
       .join(cnt.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
       .join(cnt.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")

@@ -599,10 +599,11 @@ class TextVecSuite extends SparkTestBase {
       "release() must leave no cached frame behind")
     // the returned plan stays valid after release (recomputes)
     assert(out.count() == planted.count())
-    // ngram path tracks both its persists
+    // ngram path tracks ALL its persists (shingles, hot set, per-doc
+    // counts — the r6 cnt persist that deduplicates the na/nb join sides)
     val scope2 = new CacheScope
     TextOps.ngramJaccardPairs(planted, 0.8, scope = scope2).count()
-    assert(scope2.size == 2)
+    assert(scope2.size == 3)
     scope2.release(blocking = true)
     assert(spark.sharedState.cacheManager.isEmpty)
   }
