@@ -357,12 +357,32 @@ object VectorOps {
       expressions.NativeFunctions.cosineNative(vecs.sparkSession, a, b)
     val cents = broadcast(kmeansCentroids(vecs, nCells, kmeansIters))
     def nearestCells(df: DataFrame, idC: String, vecC: String, keep: Int) = {
-      val w = Window.partitionBy(idC).orderBy(col("ccos").desc, col("cid"))
-      df.join(cents)
+      val joined = df.join(cents)
         .withColumn("ccos", round(cosN(col(vecC), col("ce")), 6))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .drop("ce", "ccos", "crank")
+      if (keep == 1) {
+        // The full-corpus assignment path: a row_number window here would
+        // push corpus×nCells rows through an exchange AND a per-partition
+        // sort just to take an argmax per vector. max(struct(…)) computes
+        // the same argmax with map-side partial aggregation — the broadcast
+        // join emits each vector's nCells candidates inside one task, so
+        // the partial agg collapses them to ONE row per vector before the
+        // shuffle and no sort exists. Tie-break identity with the window
+        // form: rk=1 under (ccos DESC, cid ASC) is exactly the max of
+        // (ccos, −cid); null ccos sorts below any value in both forms.
+        joined
+          .groupBy(col(idC))
+          .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"),
+            col("cid"), col(vecC).as("v"))).as("m"))
+          .select(col(idC), col("m.v").as(vecC), col("m.cid").as("cid"))
+      } else {
+        // keep > 1 (query probes): bounded by #queries×nCells — the same
+        // per-key top-k window shape as the final ranking below.
+        val w = Window.partitionBy(idC).orderBy(col("ccos").desc, col("cid"))
+        joined
+          .withColumn("crank", row_number().over(w))
+          .where(col("crank") <= keep)
+          .drop("ce", "ccos", "crank")
+      }
     }
     val assigned = nearestCells(
       vecs.select(col("vec_id").as("vid"), col("embedding").as("ve")), "vid", "ve", 1)
